@@ -1,0 +1,556 @@
+"""Sparse (flat N×C) graph convolution zoo.
+
+TPU-native rebuild of `gcn_lib/sparse/torch_vertex.py` + `torch_message.py`: every conv
+is a pure function of (params, state, x, Graph) built on gather → message → masked
+segment-aggregate → update.  Self-loop handling is *analytic* (closed-form extra term)
+instead of edge-list surgery, because edge counts must stay static under XLA.
+
+All convs share the signature
+    y, state = conv.apply(params, state, x, g, train=..., rng=..., axis_name=...)
+with `g` a `Graph` (senders/receivers sorted by receiver, masks, static padding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import Graph
+from ..nn.core import (
+    MLP, Linear, Module, MultiEmbedding, activation, dropout, make_norm,
+)
+from ..ops.segment import (
+    generalized_aggregate, scatter, segment_degree, segment_softmax, segment_sum,
+)
+from ..ops.knn import dilated_knn_graph_flat
+from ..graph import build_graph  # noqa: F401  (re-export convenience)
+
+Array = jax.Array
+
+
+def gather(x: Array, idx: Array) -> Array:
+    """Row gather with out-of-range (sentinel) indices clamped; padded edges are
+    masked downstream so the clamped value never contributes."""
+    return jnp.take(x, idx, axis=0, mode="clip")
+
+
+def _no_self_mask(g: Graph) -> Array:
+    return g.edge_mask & (g.senders != g.receivers)
+
+
+# ---------------------------------------------------------------------------
+# MsgNorm (`gcn_lib/sparse/torch_message.py:88-99`)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MsgNorm(Module):
+    learn_msg_scale: bool = False
+
+    def init(self, key):
+        return {"s": jnp.ones((1,), jnp.float32)}, {}
+
+    def apply(self, params, state, x, msg, **kw):
+        s = params["s"] if self.learn_msg_scale else jax.lax.stop_gradient(params["s"])
+        msg = msg / jnp.maximum(jnp.linalg.norm(msg, axis=1, keepdims=True), 1e-12)
+        x_norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+        return msg * x_norm * s, state
+
+
+# ---------------------------------------------------------------------------
+# GENConv (`gcn_lib/sparse/torch_vertex.py:12-88`)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GENConv(Module):
+    """DeeperGCN generalized conv: msg = ReLU(x_j [+ e]) + ε, generalized softmax /
+    power-mean aggregation, update h = MLP(x + m)."""
+    in_dim: int
+    emb_dim: int
+    aggr: str = "softmax"
+    t: float = 1.0
+    learn_t: bool = False
+    p: float = 1.0
+    learn_p: bool = False
+    y: float = 0.0
+    learn_y: bool = False
+    msg_norm: bool = False
+    learn_msg_scale: bool = True
+    encode_edge: bool = False
+    bond_encoder: bool = False
+    edge_feat_dim: Optional[int] = None
+    bond_feature_dims: Optional[Tuple[int, ...]] = None
+    norm: str = "batch"
+    mlp_layers: int = 2
+    eps: float = 1e-7
+
+    def _mlp(self) -> MLP:
+        chans = [self.in_dim] + [self.in_dim * 2] * (self.mlp_layers - 1) + [self.emb_dim]
+        return MLP(tuple(chans), act="relu", norm=self.norm, last_lin=True)
+
+    def _edge_encoder(self) -> Optional[Module]:
+        if not self.encode_edge:
+            return None
+        if self.bond_encoder:
+            assert self.bond_feature_dims is not None
+            return MultiEmbedding(tuple(self.bond_feature_dims), self.in_dim)
+        return Linear(self.edge_feat_dim, self.in_dim)
+
+    def init(self, key):
+        k0, k1, k2 = jax.random.split(key, 3)
+        params, state = {}, {}
+        params["mlp"], state["mlp"] = self._mlp().init(k0)
+        if self.aggr in ("softmax", "softmax_sg", "softmax_sum"):
+            params["t"] = jnp.asarray([self.t], jnp.float32)
+        if self.aggr in ("power", "power_sum"):
+            params["p"] = jnp.asarray([self.p], jnp.float32)
+        if self.aggr in ("softmax_sum", "power_sum"):
+            params["y"] = jnp.asarray([self.y], jnp.float32)
+        if self.msg_norm:
+            params["msg_norm"], _ = MsgNorm(self.learn_msg_scale).init(k1)
+        enc = self._edge_encoder()
+        if enc is not None:
+            params["edge_encoder"], _ = enc.init(k2)
+        return params, state
+
+    def apply(self, params, state, x, g: Graph, *, train: bool = False,
+              rng: Optional[Array] = None, axis_name: Optional[str] = None,
+              edge_emb: Optional[Array] = None, **kw):
+        n = x.shape[0]
+        enc = self._edge_encoder()
+        if edge_emb is None and enc is not None and g.edge_attr is not None:
+            edge_emb, _ = enc.apply(params["edge_encoder"], {}, g.edge_attr)
+        elif edge_emb is None:
+            edge_emb = g.edge_attr if not self.encode_edge else None
+
+        msg = gather(x, g.senders)
+        if edge_emb is not None:
+            msg = msg + edge_emb
+        msg = jax.nn.relu(msg) + self.eps  # (`torch_vertex.py:78-85`)
+
+        t = params.get("t", self.t)
+        if isinstance(t, jax.Array) and not (
+                self.learn_t and self.aggr in ("softmax", "softmax_sum")):
+            t = jax.lax.stop_gradient(t)
+        p = params.get("p", self.p)
+        if isinstance(p, jax.Array) and not self.learn_p:
+            p = jax.lax.stop_gradient(p)
+        y = params.get("y", self.y)
+        if isinstance(y, jax.Array) and not self.learn_y:
+            y = jax.lax.stop_gradient(y)
+
+        m = generalized_aggregate(
+            msg, g.receivers, n, aggr=self.aggr, t=t, p=p, y=y,
+            learn_t=self.learn_t, mask=g.edge_mask)
+
+        if self.msg_norm:
+            m, _ = MsgNorm(self.learn_msg_scale).apply(params["msg_norm"], {}, x, m)
+
+        h = x + m
+        out, mlp_state = self._mlp().apply(
+            params["mlp"], state["mlp"], h, train=train, rng=rng,
+            mask=g.node_mask, axis_name=axis_name)
+        return out, {**state, "mlp": mlp_state}
+
+
+# ---------------------------------------------------------------------------
+# MRConv (`torch_vertex.py:91-103`): max-relative conv
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MRConv(Module):
+    in_dim: int
+    out_dim: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+    aggr: str = "max"
+
+    def _nn(self) -> MLP:
+        return MLP((self.in_dim * 2, self.out_dim), act=self.act, norm=self.norm,
+                   bias=self.bias)
+
+    def init(self, key):
+        p, s = self._nn().init(key)
+        return {"nn": p}, {"nn": s}
+
+    def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
+              axis_name=None, **kw):
+        rel = gather(x, g.senders) - gather(x, g.receivers)
+        agg = scatter(self.aggr, rel, g.receivers, x.shape[0], mask=g.edge_mask)
+        h = jnp.concatenate([x, agg], axis=1)
+        out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
+                                   mask=g.node_mask, axis_name=axis_name)
+        return out, {"nn": ns}
+
+
+# ---------------------------------------------------------------------------
+# EdgeConv (`torch_vertex.py:106-114`, PyG EdgeConv with max aggregation)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class EdgeConv(Module):
+    in_dim: int
+    out_dim: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+    aggr: str = "max"
+
+    def _nn(self) -> MLP:
+        return MLP((self.in_dim * 2, self.out_dim), act=self.act, norm=self.norm,
+                   bias=self.bias)
+
+    def init(self, key):
+        p, s = self._nn().init(key)
+        return {"nn": p}, {"nn": s}
+
+    def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
+              axis_name=None, **kw):
+        x_i = gather(x, g.receivers)
+        x_j = gather(x, g.senders)
+        h = jnp.concatenate([x_i, x_j - x_i], axis=1)
+        # NB: the MLP (incl. batch-norm over *edges*) runs per-edge, then max-aggregates
+        # — same order as PyG EdgeConv(nn, 'max').
+        msg, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
+                                   mask=g.edge_mask, axis_name=axis_name)
+        out = scatter(self.aggr, msg, g.receivers, x.shape[0], mask=g.edge_mask)
+        return out, {"nn": ns}
+
+
+# ---------------------------------------------------------------------------
+# GAT (`torch_vertex.py:117-133`; PyG 1.x GATConv: one self loop, heads concat)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GATConv(Module):
+    in_dim: int
+    out_dim: int  # per-head
+    heads: int = 8
+    act: Optional[str] = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+    neg_slope: float = 0.2
+
+    def init(self, key):
+        kw_, ka, kb, kn = jax.random.split(key, 4)
+        h, d = self.heads, self.out_dim
+        # PyG 1.x: glorot on weight [in, H*D] and att [1, H, 2D]
+        bound_w = (6.0 / (self.in_dim + h * d)) ** 0.5
+        params = {
+            "w": jax.random.uniform(kw_, (self.in_dim, h * d), jnp.float32,
+                                    -bound_w, bound_w),
+            "att": jax.random.uniform(ka, (h, 2 * d), jnp.float32,
+                                      -(6.0 / (2 * d + 1)) ** 0.5,
+                                      (6.0 / (2 * d + 1)) ** 0.5),
+        }
+        state = {}
+        if self.bias:
+            params["b"] = jnp.zeros((h * d,))
+        nrm = make_norm(self.norm, h * d)
+        if nrm is not None:
+            params["norm"], state["norm"] = nrm.init(kn)
+        return params, state
+
+    def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
+              axis_name=None, **kw):
+        n = x.shape[0]
+        h, d = self.heads, self.out_dim
+        xt = (x @ params["w"]).reshape(n, h, d)
+        a_l, a_r = params["att"][:, :d], params["att"][:, d:]
+        # per-node partial scores (SDDMM decomposition: score_ij = s_i + s_j)
+        s_dst = jnp.einsum("nhd,hd->nh", xt, a_l)  # α-term of the center i
+        s_src = jnp.einsum("nhd,hd->nh", xt, a_r)  # α-term of the neighbor j
+        emask = _no_self_mask(g)
+        e_score = jax.nn.leaky_relu(
+            gather(s_dst, g.receivers) + gather(s_src, g.senders), self.neg_slope)
+        self_score = jax.nn.leaky_relu(s_dst + s_src, self.neg_slope)  # [N, H]
+
+        # softmax over neighbors ∪ {self}: stabilize with combined max
+        seg_max = jax.ops.segment_max(jnp.where(emask[:, None], e_score, -jnp.inf),
+                                      g.receivers, n, indices_are_sorted=True)
+        mx = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf), self_score)
+        mx = jax.lax.stop_gradient(jnp.where(jnp.isfinite(mx), mx, 0.0))
+        e_exp = jnp.where(emask[:, None], jnp.exp(e_score - gather(mx, g.receivers)), 0)
+        self_exp = jnp.exp(self_score - mx)
+        denom = jax.ops.segment_sum(e_exp, g.receivers, n, indices_are_sorted=True)
+        denom = denom + self_exp
+        alpha = e_exp / jnp.maximum(gather(denom, g.receivers), 1e-16)
+        alpha_self = self_exp / jnp.maximum(denom, 1e-16)
+
+        msg = gather(xt, g.senders) * alpha[..., None]
+        out = jax.ops.segment_sum(
+            jnp.where(emask[:, None, None], msg, 0), g.receivers, n,
+            indices_are_sorted=True)
+        out = out + xt * alpha_self[..., None]
+        out = out.reshape(n, h * d)
+        if self.bias:
+            out = out + params["b"]
+        # post: act then norm (`torch_vertex.py:124-133`)
+        if self.act is not None and str(self.act).lower() != "none":
+            out = activation(self.act, out)
+        nrm = make_norm(self.norm, h * d)
+        new_state = dict(state)
+        if nrm is not None:
+            out, ns = nrm.apply(params["norm"], state["norm"], out, train=train,
+                                mask=g.node_mask, axis_name=axis_name)
+            new_state["norm"] = ns
+        return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE (`torch_vertex.py:136-205`): custom SAGE with optional relative message
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RSAGEConv(Module):
+    """Reference (R)SAGEConv: one self loop, message = (x_j [− x_i]) @ W, mean
+    aggregation, update = MLP([x ‖ agg]) + b, optional L2-normalize output."""
+    in_dim: int
+    out_dim: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+    relative: bool = False
+
+    def _nn(self) -> MLP:
+        return MLP((self.out_dim + self.in_dim, self.out_dim), act=self.act,
+                   norm=self.norm, bias=self.bias)
+
+    def init(self, key):
+        kw_, kb, kn = jax.random.split(key, 3)
+        # PyG 1.x SAGEConv: uniform(weight) w/ glorot-ish bound 1/sqrt(in)
+        bound = 1.0 / (self.in_dim ** 0.5)
+        params = {"w": jax.random.uniform(kw_, (self.in_dim, self.out_dim), jnp.float32,
+                                          -bound, bound)}
+        if self.bias:
+            params["b"] = jnp.zeros((self.out_dim,))
+        params["nn"], nstate = self._nn().init(kn)
+        return params, {"nn": nstate}
+
+    def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
+              axis_name=None, **kw):
+        n = x.shape[0]
+        emask = _no_self_mask(g)
+        if self.relative:
+            rel = gather(x, g.senders) - gather(x, g.receivers)
+            msg = rel @ params["w"]
+            self_msg = jnp.zeros((n, self.out_dim), msg.dtype)
+        else:
+            msg = gather(x, g.senders) @ params["w"]
+            self_msg = x @ params["w"]
+        # mean over neighbors ∪ {self}
+        s = segment_sum(msg, g.receivers, n, mask=emask) + self_msg
+        cnt = segment_degree(g.receivers, n, mask=emask) + 1.0
+        agg = s / cnt[:, None]
+        h = jnp.concatenate([x, agg], axis=1)
+        out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
+                                   mask=g.node_mask, axis_name=axis_name)
+        if self.bias:
+            out = out + params["b"]
+        if self.norm is not None and str(self.norm).lower() != "none":
+            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out, {"nn": ns}
+
+
+# ---------------------------------------------------------------------------
+# SemiGCNConv (`torch_vertex.py:208-225`; Kipf GCN + act/norm post)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SemiGCNConv(Module):
+    in_dim: int
+    out_dim: int
+    act: Optional[str] = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+
+    def init(self, key):
+        kw_, kn = jax.random.split(key)
+        bound = (6.0 / (self.in_dim + self.out_dim)) ** 0.5  # glorot
+        params = {"w": jax.random.uniform(kw_, (self.in_dim, self.out_dim), jnp.float32,
+                                          -bound, bound)}
+        if self.bias:
+            params["b"] = jnp.zeros((self.out_dim,))
+        state = {}
+        nrm = make_norm(self.norm, self.out_dim)
+        if nrm is not None:
+            params["norm"], state["norm"] = nrm.init(kn)
+        return params, state
+
+    def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
+              axis_name=None, **kw):
+        n = x.shape[0]
+        xt = x @ params["w"]
+        # GCN sym-norm with remaining-self-loops semantics: nodes lacking a self edge
+        # get one; degree counts neighbors + the (possibly added) self loop.
+        emask = g.edge_mask
+        is_self = emask & (g.senders == g.receivers)
+        has_self = segment_degree(g.receivers, n, mask=is_self)
+        deg = segment_degree(g.receivers, n, mask=emask) + (1.0 - jnp.minimum(has_self, 1.0))
+        dinv = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+        coef = gather(dinv, g.receivers) * gather(dinv, g.senders)
+        msg = gather(xt, g.senders) * coef[:, None]
+        out = segment_sum(msg, g.receivers, n, mask=emask)
+        # analytic self-loop term only for nodes without an explicit self edge
+        out = out + xt * ((1.0 - jnp.minimum(has_self, 1.0)) * dinv * dinv)[:, None]
+        if self.bias:
+            out = out + params["b"]
+        if self.act is not None and str(self.act).lower() != "none":
+            out = activation(self.act, out)
+        nrm = make_norm(self.norm, self.out_dim)
+        new_state = dict(state)
+        if nrm is not None:
+            out, ns = nrm.apply(params["norm"], state["norm"], out, train=train,
+                                mask=g.node_mask, axis_name=axis_name)
+            new_state["norm"] = ns
+        return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# GIN (`torch_vertex.py:228-236`)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GINConv(Module):
+    in_dim: int
+    out_dim: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+    eps: float = 0.0
+
+    def _nn(self) -> MLP:
+        return MLP((self.in_dim, self.out_dim), act=self.act, norm=self.norm,
+                   bias=self.bias)
+
+    def init(self, key):
+        p, s = self._nn().init(key)
+        return {"nn": p}, {"nn": s}
+
+    def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
+              axis_name=None, **kw):
+        agg = segment_sum(gather(x, g.senders), g.receivers, x.shape[0],
+                          mask=g.edge_mask)
+        h = (1.0 + self.eps) * x + agg
+        out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
+                                   mask=g.node_mask, axis_name=axis_name)
+        return out, {"nn": ns}
+
+
+# ---------------------------------------------------------------------------
+# dispatcher + dynamic conv + blocks (`torch_vertex.py:239-352`)
+# ---------------------------------------------------------------------------
+
+def graph_conv(in_dim: int, out_dim: int, conv: str = "edge", act: str = "relu",
+               norm: Optional[str] = None, bias: bool = True, heads: int = 8) -> Module:
+    c = conv.lower()
+    if c == "edge":
+        return EdgeConv(in_dim, out_dim, act, norm, bias)
+    if c == "mr":
+        return MRConv(in_dim, out_dim, act, norm, bias)
+    if c == "gat":
+        return GATConv(in_dim, out_dim // heads, heads, act, norm, bias)
+    if c == "gcn":
+        return SemiGCNConv(in_dim, out_dim, act, norm, bias)
+    if c == "gin":
+        return GINConv(in_dim, out_dim, act, norm, bias)
+    if c == "sage":
+        return RSAGEConv(in_dim, out_dim, act, norm, bias, relative=False)
+    if c == "rsage":
+        return RSAGEConv(in_dim, out_dim, act, norm, bias, relative=True)
+    raise NotImplementedError(f"conv {conv} is not implemented")
+
+
+@dataclass(frozen=True)
+class DynConv(Module):
+    """GraphConv on a per-forward dilated-kNN graph (`torch_vertex.py:267-281`).
+
+    Requires equally-sized graphs stacked flat (points per cloud static)."""
+    in_dim: int
+    out_dim: int
+    kernel_size: int = 9
+    dilation: int = 1
+    conv: str = "edge"
+    act: str = "relu"
+    norm: Optional[str] = None
+    bias: bool = True
+    heads: int = 8
+    stochastic: bool = False
+    epsilon: float = 0.0
+    num_points: int = 1024  # nodes per graph (static)
+
+    def _conv(self) -> Module:
+        return graph_conv(self.in_dim, self.out_dim, self.conv, self.act, self.norm,
+                          self.bias, self.heads)
+
+    def init(self, key):
+        return self._conv().init(key)
+
+    def apply(self, params, state, x, g: Optional[Graph] = None, *, train=False,
+              rng=None, axis_name=None, **kw):
+        if g is None:
+            krng = None if rng is None else jax.random.fold_in(rng, 17)
+            senders, receivers = dilated_knn_graph_flat(
+                x, self.kernel_size, self.dilation,
+                num_nodes_per_graph=self.num_points, stochastic=self.stochastic,
+                epsilon=self.epsilon, train=train, rng=krng)
+            n = x.shape[0]
+            g = Graph(
+                x=None, senders=senders, receivers=receivers, edge_attr=None,
+                node_mask=jnp.ones((n,), bool),
+                edge_mask=jnp.ones(senders.shape, bool),
+                n_node=jnp.int32(n), n_edge=jnp.int32(senders.shape[0]))
+        return self._conv().apply(params, state, x, g, train=train, rng=rng,
+                                  axis_name=axis_name)
+
+
+def _block(body: Module, kind: str, res_scale: float = 1.0):
+    """plain / res / dense wrapper (`torch_vertex.py:284-352`)."""
+
+    @dataclass(frozen=True)
+    class _Block(Module):
+        def init(self, key):
+            return body.init(key)
+
+        def apply(self, params, state, x, g=None, **kw):
+            y, ns = body.apply(params, state, x, g, **kw)
+            if kind == "res":
+                return y + x * res_scale, ns
+            if kind == "dense":
+                return jnp.concatenate([x, y], axis=1), ns
+            return y, ns
+
+    return _Block()
+
+
+def PlainDynBlock(channels, kernel_size=9, dilation=1, conv="edge", act="relu",
+                  norm=None, bias=True, num_points=1024, **kw):
+    return _block(DynConv(channels, channels, kernel_size, dilation, conv, act, norm,
+                          bias, num_points=num_points, **kw), "plain")
+
+
+def ResDynBlock(channels, kernel_size=9, dilation=1, conv="edge", act="relu",
+                norm=None, bias=True, res_scale=1.0, num_points=1024, **kw):
+    return _block(DynConv(channels, channels, kernel_size, dilation, conv, act, norm,
+                          bias, num_points=num_points, **kw), "res", res_scale)
+
+
+def DenseDynBlock(in_channels, out_channels=64, kernel_size=9, dilation=1, conv="edge",
+                  act="relu", norm=None, bias=True, num_points=1024, **kw):
+    return _block(DynConv(in_channels, out_channels, kernel_size, dilation, conv, act,
+                          norm, bias, num_points=num_points, **kw), "dense")
+
+
+def ResGraphBlock(channels, conv="edge", act="relu", norm=None, bias=True, heads=8,
+                  res_scale=1.0):
+    return _block(graph_conv(channels, channels, conv, act, norm, bias, heads),
+                  "res", res_scale)
+
+
+def DenseGraphBlock(in_channels, out_channels, conv="edge", act="relu", norm=None,
+                    bias=True, heads=8):
+    return _block(graph_conv(in_channels, out_channels, conv, act, norm, bias, heads),
+                  "dense")

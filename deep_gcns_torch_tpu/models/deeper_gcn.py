@@ -1,0 +1,215 @@
+"""DeeperGCN backbone (GENConv + res+/res/plain blocks).
+
+TPU-native rebuild of `examples/ogb/ogbn_arxiv/model.py:10-140` (and the proteins /
+products / mol variants): identical math, but the homogeneous layer stack runs under
+`lax.scan` over *stacked* per-layer parameters — one compiled layer body regardless of
+depth (112-layer DyResGEN compiles as fast as 7-layer), with `jax.checkpoint` remat
+replacing `torch.utils.checkpoint` (`model.py:39-41, 88-99`).
+
+Block semantics (reference `model.py:84-136`):
+  res+ : h ← gcn_l( drop( relu( norm_{l-1}(h) ) ) ) + h   (pre-activation)
+  res  : h ← relu( norm_l( gcn_l(h) ) ) + h, then dropout
+  plain: h ← drop( relu( norm_l( gcn_l(h) ) ) )
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..convs.sparse import GENConv
+from ..graph import Graph
+from ..nn.core import Linear, Module, MultiEmbedding, dropout, make_norm
+from ..ops.segment import scatter
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class DeeperGCNConfig:
+    in_channels: int
+    hidden_channels: int
+    num_tasks: int
+    num_layers: int = 28
+    block: str = "res+"
+    aggr: str = "softmax"          # gcn_aggr flag
+    t: float = 1.0
+    learn_t: bool = False
+    p: float = 1.0
+    learn_p: bool = False
+    y: float = 0.0
+    learn_y: bool = False
+    msg_norm: bool = False
+    learn_msg_scale: bool = False
+    norm: str = "batch"
+    mlp_layers: int = 1
+    dropout: float = 0.0
+    # node encoder: 'linear' (arxiv/proteins) or 'atom' (ogbg_mol AtomEncoder)
+    node_encoder: str = "linear"
+    atom_feature_dims: Optional[Tuple[int, ...]] = None
+    # edge features: 'none' | 'one_time' (encode once at model level, proteins
+    # conv_encode_edge=False path) | 'per_layer' (GENConv encodes each layer) |
+    # 'bond' (per-layer BondEncoder, ogbg_mol)
+    edge_mode: str = "none"
+    edge_feat_dim: int = 0
+    bond_feature_dims: Optional[Tuple[int, ...]] = None
+    # graph-level pooling head ('' = node-level output)
+    graph_pooling: str = ""
+    remat: bool = True
+
+
+class DeeperGCN(Module):
+    def __init__(self, cfg: DeeperGCNConfig):
+        self.cfg = cfg
+        c = cfg
+        per_layer_edge = c.edge_mode in ("per_layer", "bond")
+        self._gcn = GENConv(
+            c.hidden_channels, c.hidden_channels, aggr=c.aggr, t=c.t,
+            learn_t=c.learn_t, p=c.p, learn_p=c.learn_p, y=c.y, learn_y=c.learn_y,
+            msg_norm=c.msg_norm, learn_msg_scale=c.learn_msg_scale,
+            encode_edge=per_layer_edge, bond_encoder=(c.edge_mode == "bond"),
+            edge_feat_dim=c.edge_feat_dim or None,
+            bond_feature_dims=c.bond_feature_dims,
+            norm=c.norm, mlp_layers=c.mlp_layers)
+        self._norm = make_norm(c.norm, c.hidden_channels)
+        if c.node_encoder == "atom":
+            assert c.atom_feature_dims is not None
+            self._encoder: Module = MultiEmbedding(tuple(c.atom_feature_dims),
+                                                   c.hidden_channels)
+        else:
+            self._encoder = Linear(c.in_channels, c.hidden_channels)
+        self._pred = Linear(c.hidden_channels, c.num_tasks)
+        self._edge_encoder = (Linear(c.edge_feat_dim, c.hidden_channels)
+                              if c.edge_mode == "one_time" else None)
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key):
+        c = self.cfg
+        L = c.num_layers
+        ks = jax.random.split(key, 6)
+        params, state = {}, {}
+        params["encoder"], _ = self._encoder.init(ks[0])
+        params["pred"], _ = self._pred.init(ks[1])
+        if self._edge_encoder is not None:
+            params["edge_encoder"], _ = self._edge_encoder.init(ks[2])
+
+        def stack_init(mod, key, n):
+            # one traced init vmapped over layer keys — O(1) dispatch regardless of
+            # depth (a python loop would eager-dispatch 112×: slow over remote TPU)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+            return jax.vmap(mod.init)(keys)
+
+        params["gcns"], state["gcns"] = stack_init(self._gcn, ks[3], L)
+        params["norms"], state["norms"] = stack_init(self._norm, ks[4], L)
+        return params, state
+
+    # -- helpers ------------------------------------------------------------
+    def _slice(self, tree, i):
+        return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+    def _apply_layer(self, lp, ls, h, g, edge_emb, train, rng, axis_name):
+        return self._gcn.apply(lp, ls, h, g, train=train, rng=rng,
+                               axis_name=axis_name, edge_emb=edge_emb)
+
+    # -- forward ------------------------------------------------------------
+    def apply(self, params, state, x, g: Graph, *, train: bool = False,
+              rng: Optional[Array] = None, axis_name: Optional[str] = None, **kw):
+        c = self.cfg
+        L = c.num_layers
+        h, _ = self._encoder.apply(params["encoder"], {}, x)
+
+        edge_emb = None
+        if self._edge_encoder is not None and g.edge_attr is not None:
+            edge_emb, _ = self._edge_encoder.apply(params["edge_encoder"], {},
+                                                   g.edge_attr)
+
+        nmask = g.node_mask
+        drop = c.dropout
+
+        def layer_rng(i):
+            if rng is None:
+                return None
+            return jax.random.fold_in(rng, i)
+
+        if c.block == "res+":
+            # first gcn applied raw (`model.py:86`)
+            h, gs0 = self._apply_layer(self._slice(params["gcns"], 0),
+                                       self._slice(state["gcns"], 0),
+                                       h, g, edge_emb, train, layer_rng(0), axis_name)
+
+            def body(carry, inp):
+                h = carry
+                i = inp  # layer index 1..L-1
+                np_ = self._slice(params["norms"], i - 1)
+                ns_ = self._slice(state["norms"], i - 1)
+                gp_ = self._slice(params["gcns"], i)
+                gss = self._slice(state["gcns"], i)
+                r = layer_rng(i)
+                h1, ns_out = self._norm.apply(np_, ns_, h, train=train, mask=nmask,
+                                              axis_name=axis_name)
+                h2 = jax.nn.relu(h1)
+                h2 = dropout(h2, drop, train=train,
+                             rng=None if r is None else jax.random.fold_in(r, 1))
+                res, gs_out = self._apply_layer(gp_, gss, h2, g, edge_emb, train, r,
+                                                axis_name)
+                return h + res, (ns_out, gs_out)
+
+            body_fn = jax.checkpoint(body) if c.remat else body
+            h, (norm_states, gcn_states) = jax.lax.scan(body_fn, h, jnp.arange(1, L))
+
+            # final norm uses norms[L-1]
+            npL = self._slice(params["norms"], L - 1)
+            nsL = self._slice(state["norms"], L - 1)
+            h1, nsL_out = self._norm.apply(npL, nsL, h, train=train, mask=nmask,
+                                           axis_name=axis_name)
+            h = jax.nn.relu(h1)
+            h = dropout(h, drop, train=train, rng=layer_rng(L))
+
+            # reassemble stacked states (gcn0 + scanned, scanned norms + last)
+            new_state = {
+                "gcns": jax.tree_util.tree_map(
+                    lambda first, rest: jnp.concatenate([first[None], rest], 0),
+                    gs0, gcn_states),
+                "norms": jax.tree_util.tree_map(
+                    lambda rest, last: jnp.concatenate([rest, last[None]], 0),
+                    norm_states, nsL_out),
+            }
+
+        elif c.block in ("res", "plain"):
+            def body(carry, inp):
+                h = carry
+                i = inp
+                gp_ = self._slice(params["gcns"], i)
+                gss = self._slice(state["gcns"], i)
+                np_ = self._slice(params["norms"], i)
+                ns_ = self._slice(state["norms"], i)
+                r = layer_rng(i)
+                h1, gs_out = self._apply_layer(gp_, gss, h, g, edge_emb, train, r,
+                                               axis_name)
+                h2, ns_out = self._norm.apply(np_, ns_, h1, train=train, mask=nmask,
+                                              axis_name=axis_name)
+                h3 = jax.nn.relu(h2)
+                if c.block == "res":
+                    h_out = h3 + h
+                else:
+                    h_out = h3
+                h_out = dropout(h_out, drop, train=train,
+                                rng=None if r is None else jax.random.fold_in(r, 1))
+                return h_out, (ns_out, gs_out)
+
+            body_fn = jax.checkpoint(body) if c.remat else body
+            h, (norm_states, gcn_states) = jax.lax.scan(body_fn, h, jnp.arange(L))
+            new_state = {"gcns": gcn_states, "norms": norm_states}
+        else:
+            raise NotImplementedError(f"Unknown block Type {c.block}")
+
+        if c.graph_pooling:
+            assert g.node_graph is not None
+            h = scatter(c.graph_pooling, h, g.node_graph, g.num_graphs,
+                        mask=g.node_mask)
+
+        out, _ = self._pred.apply(params["pred"], {}, h)
+        return out, new_state

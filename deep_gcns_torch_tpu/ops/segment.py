@@ -1,0 +1,172 @@
+"""Segment reductions with the reference's torch_scatter semantics.
+
+These are the XLA reference implementations of the framework's hottest primitive:
+aggregation of per-edge messages ``[E, C]`` into per-node rows ``[N, C]`` keyed by the
+(sorted) receiver index.  Pallas fused kernels (ops/spmm_pallas.py) must match these
+bit-for-bit on valid data; these functions define the semantics:
+
+* empty segments produce 0 for sum/mean AND max/min — matching torch_scatter
+  (`utils/pyg_util.py:26-34` additionally clamps max output `out[out < -10000] = 0`).
+* masked (padding) edges contribute nothing.
+* ``segment_softmax`` is per-(segment, channel), numerically stabilized by the
+  per-segment max, matching `torch_scatter.scatter_softmax` used at
+  `gcn_lib/sparse/torch_message.py:52-55`.
+* ``generalized_aggregate`` implements DeeperGCN's SoftMax/PowerMean aggregation
+  family (`gcn_lib/sparse/torch_message.py:44-85`), including the stop-gradient
+  behavior of the reference: when ``t`` is not learned the softmax weights are
+  computed under ``no_grad`` — i.e. they are constants w.r.t. autodiff.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG_INF = float("-inf")
+
+
+def _mask2d(mask: Optional[Array], like: Array) -> Optional[Array]:
+    if mask is None:
+        return None
+    return mask.reshape((-1,) + (1,) * (like.ndim - 1))
+
+
+def segment_sum(data: Array, segment_ids: Array, num_segments: int,
+                mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+    m = _mask2d(mask, data)
+    if m is not None:
+        data = jnp.where(m, data, 0)
+    return jax.ops.segment_sum(data, segment_ids, num_segments,
+                               indices_are_sorted=indices_are_sorted)
+
+
+def segment_degree(segment_ids: Array, num_segments: int,
+                   mask: Optional[Array] = None, indices_are_sorted: bool = True,
+                   dtype=jnp.float32) -> Array:
+    """Number of (valid) entries per segment — PyG `degree` (`torch_message.py:62`)."""
+    ones = jnp.ones(segment_ids.shape, dtype)
+    if mask is not None:
+        ones = jnp.where(mask, ones, 0)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments,
+                               indices_are_sorted=indices_are_sorted)
+
+
+def segment_mean(data: Array, segment_ids: Array, num_segments: int,
+                 mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+    s = segment_sum(data, segment_ids, num_segments, mask, indices_are_sorted)
+    cnt = segment_degree(segment_ids, num_segments, mask, indices_are_sorted, s.dtype)
+    cnt = cnt.reshape((-1,) + (1,) * (s.ndim - 1))
+    return s / jnp.maximum(cnt, 1)
+
+
+def _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, kind):
+    fill = _NEG_INF if kind == "max" else float("inf")
+    m = _mask2d(mask, data)
+    if m is not None:
+        data = jnp.where(m, data, fill)
+    fn = jax.ops.segment_max if kind == "max" else jax.ops.segment_min
+    out = fn(data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted)
+    # torch_scatter yields 0 for empty segments (reference clamps via
+    # `out[out < -10000] = 0`, utils/pyg_util.py:30-34).
+    return jnp.where(jnp.isfinite(out), out, 0)
+
+
+def segment_max(data: Array, segment_ids: Array, num_segments: int,
+                mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+    return _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, "max")
+
+
+def segment_min(data: Array, segment_ids: Array, num_segments: int,
+                mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+    return _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, "min")
+
+
+def scatter(name: str, data: Array, segment_ids: Array, num_segments: int,
+            mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+    """Named dispatch mirroring `utils/pyg_util.py:4-35` (`scatter_`)."""
+    name = {"add": "sum"}.get(name, name)
+    fns = {"sum": segment_sum, "mean": segment_mean, "max": segment_max, "min": segment_min}
+    return fns[name](data, segment_ids, num_segments, mask, indices_are_sorted)
+
+
+def segment_softmax(data: Array, segment_ids: Array, num_segments: int,
+                    mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+    """Per-(segment, channel) softmax weights over entries (torch_scatter.scatter_softmax).
+
+    Returns weights with the same shape as ``data``; masked entries get weight 0.
+    """
+    m = _mask2d(mask, data)
+    logits = data if m is None else jnp.where(m, data, _NEG_INF)
+    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments,
+                                  indices_are_sorted=indices_are_sorted)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0)
+    # stop_gradient through the max shift (it cancels analytically; this matches the
+    # usual stable-softmax formulation and torch_scatter's backward).
+    shifted = data - jax.lax.stop_gradient(seg_max)[segment_ids]
+    e = jnp.exp(shifted)
+    if m is not None:
+        e = jnp.where(m, e, 0)
+    denom = jax.ops.segment_sum(e, segment_ids, num_segments,
+                                indices_are_sorted=indices_are_sorted)
+    denom = jnp.maximum(denom, jnp.finfo(e.dtype).tiny)
+    return e / denom[segment_ids]
+
+
+def generalized_aggregate(
+    msgs: Array,
+    receivers: Array,
+    num_segments: int,
+    *,
+    aggr: str = "softmax",
+    t: Array | float = 1.0,
+    p: Array | float = 1.0,
+    y: Array | float = 0.0,
+    learn_t: bool = False,
+    mask: Optional[Array] = None,
+    indices_are_sorted: bool = True,
+) -> Array:
+    """DeeperGCN generalized aggregation (`gcn_lib/sparse/torch_message.py:44-85`).
+
+    aggr ∈ {softmax, softmax_sg, softmax_sum, power, power_sum, add/sum, mean, max, min}.
+    Semantics notes (parity with reference):
+      * softmax weights are stop-gradiented unless (learn_t and aggr in
+        {softmax, softmax_sum}) — the reference computes them under `torch.no_grad()`
+        otherwise (`torch_message.py:51-55`).
+      * power mean clamps messages and the mean to [1e-7, 1e1] (`:69-73`).
+      * *_sum variants scale by degree^sigmoid(y) (`:60-63, 77-80`).
+    """
+    if aggr in ("add", "sum"):
+        return segment_sum(msgs, receivers, num_segments, mask, indices_are_sorted)
+    if aggr == "mean":
+        return segment_mean(msgs, receivers, num_segments, mask, indices_are_sorted)
+    if aggr == "max":
+        return segment_max(msgs, receivers, num_segments, mask, indices_are_sorted)
+    if aggr == "min":
+        return segment_min(msgs, receivers, num_segments, mask, indices_are_sorted)
+
+    if aggr in ("softmax", "softmax_sg", "softmax_sum"):
+        w = segment_softmax(msgs * t, receivers, num_segments, mask, indices_are_sorted)
+        if not (learn_t and aggr in ("softmax", "softmax_sum")):
+            w = jax.lax.stop_gradient(w)
+        out = segment_sum(msgs * w, receivers, num_segments, mask, indices_are_sorted)
+        if aggr == "softmax_sum":
+            deg = segment_degree(receivers, num_segments, mask, indices_are_sorted, out.dtype)
+            out = jnp.power(deg, jax.nn.sigmoid(y))[:, None] * out
+        return out
+
+    if aggr in ("power", "power_sum"):
+        lo, hi = 1e-7, 1e1
+        m = jnp.clip(msgs, lo, hi)
+        out = segment_mean(jnp.power(m, p), receivers, num_segments, mask, indices_are_sorted)
+        out = jnp.clip(out, lo, hi)
+        out = jnp.power(out, 1.0 / p)
+        if aggr == "power_sum":
+            deg = segment_degree(receivers, num_segments, mask, indices_are_sorted, out.dtype)
+            out = jnp.power(deg, jax.nn.sigmoid(y))[:, None] * out
+        return out
+
+    raise NotImplementedError(f"aggregation '{aggr}' is not implemented")

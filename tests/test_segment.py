@@ -1,0 +1,90 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_gcns_torch_tpu.ops import segment as seg
+from np_ref import gen_aggregate_ref, random_graph, scatter_ref, scatter_softmax_ref
+
+
+@pytest.mark.parametrize("name", ["sum", "mean", "max", "min"])
+def test_scatter_matches_torch_scatter_semantics(rng_np, name):
+    x, s, r = random_graph(rng_np, 50, 300, 8)
+    msgs = x[s]
+    got = np.asarray(seg.scatter(name, jnp.asarray(msgs), jnp.asarray(r), 50))
+    want = scatter_ref(name, msgs, r, 50)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_empty_segments_zero(rng_np):
+    # node 0 and node 49 have no in-edges
+    r = np.full(10, 25, np.int32)
+    msgs = -np.abs(rng_np.standard_normal((10, 4)).astype(np.float32)) - 1
+    for name in ["sum", "mean", "max", "min"]:
+        got = np.asarray(seg.scatter(name, jnp.asarray(msgs), jnp.asarray(r), 50))
+        assert np.all(got[0] == 0) and np.all(got[49] == 0)
+    # all-negative messages: max of filled segment stays negative (true max, no clamp)
+    got = np.asarray(seg.scatter("max", jnp.asarray(msgs), jnp.asarray(r), 50))
+    assert np.all(got[25] < 0)
+
+
+def test_segment_softmax(rng_np):
+    x, s, r = random_graph(rng_np, 40, 200, 6)
+    msgs = x[s] * 3.0
+    got = np.asarray(seg.segment_softmax(jnp.asarray(msgs), jnp.asarray(r), 40))
+    want = scatter_softmax_ref(msgs, r, 40)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # weights sum to 1 per non-empty (segment, channel)
+    sums = scatter_ref("sum", got, r, 40)
+    nonempty = np.bincount(r, minlength=40) > 0
+    np.testing.assert_allclose(sums[nonempty], 1.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("aggr", ["softmax", "softmax_sg", "softmax_sum", "power",
+                                  "power_sum", "add", "mean", "max"])
+def test_generalized_aggregate(rng_np, aggr):
+    x, s, r = random_graph(rng_np, 30, 150, 5)
+    msgs = np.maximum(x[s], 0) + 1e-7  # GENConv message form
+    got = np.asarray(seg.generalized_aggregate(
+        jnp.asarray(msgs), jnp.asarray(r), 30, aggr=aggr, t=1.3, p=1.7, y=0.2))
+    want = gen_aggregate_ref(msgs, r, 30, aggr=aggr, t=1.3, p=1.7, y=0.2)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_masked_edges_do_not_contribute(rng_np):
+    x, s, r = random_graph(rng_np, 20, 100, 4)
+    msgs = x[s]
+    mask = rng_np.random(100) < 0.7
+    for name in ["sum", "mean", "max", "min"]:
+        got = np.asarray(seg.scatter(name, jnp.asarray(msgs), jnp.asarray(r), 20,
+                                     mask=jnp.asarray(mask)))
+        want = scatter_ref(name, msgs[mask], r[mask], 20)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    got = np.asarray(seg.segment_softmax(jnp.asarray(msgs), jnp.asarray(r), 20,
+                                         mask=jnp.asarray(mask)))
+    want = np.zeros_like(msgs)
+    want[mask] = scatter_softmax_ref(msgs[mask], r[mask], 20)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_softmax_sg_stops_gradient(rng_np):
+    """learn_t=False must treat softmax weights as constants (torch.no_grad parity,
+    `gcn_lib/sparse/torch_message.py:51-58`)."""
+    x, s, r = random_graph(rng_np, 10, 60, 3)
+    msgs = jnp.asarray(np.maximum(x[s], 0) + 1e-7)
+    rj = jnp.asarray(r)
+
+    def loss_sg(m):
+        return seg.generalized_aggregate(m, rj, 10, aggr="softmax", t=2.0,
+                                         learn_t=False).sum()
+
+    def loss_full(m):
+        return seg.generalized_aggregate(m, rj, 10, aggr="softmax", t=2.0,
+                                         learn_t=True).sum()
+
+    g_sg = jax.grad(loss_sg)(msgs)
+    g_full = jax.grad(loss_full)(msgs)
+    # with stop-grad, d(sum m*w)/dm = w exactly
+    w = scatter_softmax_ref(np.asarray(msgs) * 2.0, r, 10)
+    np.testing.assert_allclose(np.asarray(g_sg), w, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(g_full), w)
