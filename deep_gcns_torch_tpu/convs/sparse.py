@@ -117,13 +117,18 @@ class GENConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
               rng: Optional[Array] = None, axis_name: Optional[str] = None,
-              edge_emb: Optional[Array] = None, **kw):
+              edge_attr: Optional[Array] = None, edge_emb: Optional[Array] = None,
+              **kw):
+        """edge_attr: raw edge features (encoded here when encode_edge);
+        edge_emb: pre-encoded embeddings used as-is (skips the encoder)."""
         n = x.shape[0]
         enc = self._edge_encoder()
-        if edge_emb is None and enc is not None and g.edge_attr is not None:
-            edge_emb, _ = enc.apply(params["edge_encoder"], {}, g.edge_attr)
-        elif edge_emb is None:
-            edge_emb = g.edge_attr if not self.encode_edge else None
+        if edge_emb is None:
+            ea = edge_attr if edge_attr is not None else g.edge_attr
+            if enc is not None and ea is not None:
+                edge_emb, _ = enc.apply(params["edge_encoder"], {}, ea)
+            elif not self.encode_edge:
+                edge_emb = ea
 
         msg = gather(x, g.senders)
         if edge_emb is not None:
@@ -150,9 +155,9 @@ class GENConv(Module):
 
         h = x + m
         out, mlp_state = self._mlp().apply(
-            params["mlp"], state["mlp"], h, train=train, rng=rng,
-            mask=g.node_mask, axis_name=axis_name)
-        return out, {**state, "mlp": mlp_state}
+            params["mlp"], state.get("mlp", {}) if state else {}, h, train=train,
+            rng=rng, mask=g.node_mask, axis_name=axis_name)
+        return out, {**(state or {}), "mlp": mlp_state}
 
 
 # ---------------------------------------------------------------------------

@@ -333,6 +333,8 @@ class MLP(Module):
 
     def apply(self, params, state, x, *, train: bool = False, rng: Optional[Array] = None,
               mask: Optional[Array] = None, axis_name: Optional[str] = None, **kw):
+        if not state:
+            state = [{} for _ in self._layers()]
         new_state = []
         for i, (lin, norm, post) in enumerate(self._layers()):
             x, _ = lin.apply(params[i]["lin"], {}, x)
