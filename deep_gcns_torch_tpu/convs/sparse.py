@@ -148,7 +148,7 @@ class GENConv(Module):
 
         m = generalized_aggregate(
             msg, g.receivers, n, aggr=self.aggr, t=t, p=p, y=y,
-            learn_t=self.learn_t, mask=g.edge_mask)
+            learn_t=self.learn_t, mask=g.edge_mask, row_ptr=g.row_ptr)
 
         if self.msg_norm:
             m, _ = MsgNorm(self.learn_msg_scale).apply(params["msg_norm"], {}, x, m)

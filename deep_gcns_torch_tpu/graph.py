@@ -89,14 +89,17 @@ def build_graph(
     num_graphs: int = 1,
     node_pad: Optional[int] = None,
     edge_pad: Optional[int] = None,
-    pad_multiple: int = 128,
+    pad_multiple: int = 256,
+    edge_pad_multiple: int = 512,
     sort_edges: bool = True,
-    with_row_ptr: bool = False,
+    with_row_ptr: bool = True,
 ) -> Graph:
     """Host-side constructor: sorts edges by receiver, pads to bucket sizes.
 
-    ``node_pad``/``edge_pad`` override the default round-up-to-``pad_multiple``
-    bucketing (use a fixed bucket across steps to avoid recompilation).
+    ``node_pad``/``edge_pad`` override the default round-up bucketing (use a fixed
+    bucket across steps to avoid recompilation). Defaults align with the Pallas
+    kernel tiles (ops/spmm_pallas.py: BN=256 node rows, CHUNK=512 edges) and a CSR
+    row_ptr is built by default so convs can take the fused kernel path.
     """
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
@@ -116,7 +119,7 @@ def build_graph(
             edge_attr = np.asarray(edge_attr)[order]
 
     n_pad = node_pad if node_pad is not None else _round_up(max(n_node, 1), pad_multiple)
-    e_pad = edge_pad if edge_pad is not None else _round_up(max(n_edge, 1), pad_multiple)
+    e_pad = edge_pad if edge_pad is not None else _round_up(max(n_edge, 1), edge_pad_multiple)
     if n_pad < n_node or e_pad < n_edge:
         raise ValueError(f"padding too small: nodes {n_node}>{n_pad} or edges {n_edge}>{e_pad}")
 
@@ -171,8 +174,8 @@ def batch_graphs(
     *,
     node_pad: Optional[int] = None,
     edge_pad: Optional[int] = None,
-    pad_multiple: int = 128,
-    with_row_ptr: bool = False,
+    pad_multiple: int = 256,
+    with_row_ptr: bool = True,
 ) -> Graph:
     """Block-diagonal batch of raw host graphs (PyG `Batch.from_data_list` semantics).
 

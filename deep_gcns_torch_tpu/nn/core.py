@@ -353,6 +353,26 @@ class MLP(Module):
         return x, new_state
 
 
+def kaiming_reinit(params, key: Array):
+    """Re-draw every 2-D weight leaf with kaiming-normal (std = √(2/fan_in)) and zero
+    every 1-D bias — the reference's `model_init` convention
+    (`examples/ppi/architecture.py:38-45`, `examples/modelnet_cls/architecture.py:63-70`).
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for i, (path, leaf) in enumerate(flat):
+        name = path[-1].key if hasattr(path[-1], "key") else None
+        if name == "w" and leaf.ndim == 2:
+            std = (2.0 / leaf.shape[0]) ** 0.5
+            out.append(jax.random.normal(jax.random.fold_in(key, i), leaf.shape,
+                                         leaf.dtype) * std)
+        elif name == "b":
+            out.append(jnp.zeros_like(leaf))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def init_all(key: Array, modules: Sequence[Tuple[str, Module]]):
     """Init a dict of named modules → ({name: params}, {name: state})."""
     params, state = {}, {}

@@ -116,6 +116,21 @@ def segment_softmax(data: Array, segment_ids: Array, num_segments: int,
     return e / denom[segment_ids]
 
 
+def _pallas_ok(aggr: str, row_ptr, msgs, num_segments: int) -> bool:
+    """Route to the fused Pallas CSR kernels when legal: TPU backend, CSR row_ptr
+    present, kernel-supported aggregation, tile-aligned padding."""
+    if row_ptr is None or aggr not in ("softmax", "softmax_sg", "softmax_sum",
+                                       "add", "sum", "mean"):
+        return False
+    from . import spmm_pallas as sp
+    if msgs.shape[0] % sp.CHUNK or num_segments % sp.BN:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def generalized_aggregate(
     msgs: Array,
     receivers: Array,
@@ -128,6 +143,8 @@ def generalized_aggregate(
     learn_t: bool = False,
     mask: Optional[Array] = None,
     indices_are_sorted: bool = True,
+    row_ptr: Optional[Array] = None,
+    use_pallas: str | bool = "auto",
 ) -> Array:
     """DeeperGCN generalized aggregation (`gcn_lib/sparse/torch_message.py:44-85`).
 
@@ -139,6 +156,26 @@ def generalized_aggregate(
       * power mean clamps messages and the mean to [1e-7, 1e1] (`:69-73`).
       * *_sum variants scale by degree^sigmoid(y) (`:60-63, 77-80`).
     """
+    if use_pallas is True or (use_pallas == "auto"
+                              and _pallas_ok(aggr, row_ptr, msgs, num_segments)):
+        from . import spmm_pallas as sp
+        if aggr in ("add", "sum"):
+            return sp.segment_sum_csr(msgs, receivers, row_ptr)
+        if aggr == "mean":
+            s = sp.segment_sum_csr(msgs, receivers, row_ptr)
+            cnt = segment_degree(receivers, num_segments, mask, indices_are_sorted,
+                                 s.dtype)
+            return s / jnp.maximum(cnt, 1)[:, None]
+        # softmax family
+        grad_w = learn_t and aggr in ("softmax", "softmax_sum")
+        out = sp.gen_softmax_aggregate_csr(msgs, receivers, row_ptr,
+                                           jnp.asarray(t, jnp.float32), grad_w)
+        if aggr == "softmax_sum":
+            deg = segment_degree(receivers, num_segments, mask, indices_are_sorted,
+                                 out.dtype)
+            out = jnp.power(deg, jax.nn.sigmoid(y))[:, None] * out
+        return out
+
     if aggr in ("add", "sum"):
         return segment_sum(msgs, receivers, num_segments, mask, indices_are_sorted)
     if aggr == "mean":

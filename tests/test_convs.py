@@ -117,7 +117,7 @@ def test_gat_attention_normalizes(rng_np):
     conv = cs.GATConv(16, 4, heads=4, act=None, norm=None)
     p, st = conv.init(jax.random.PRNGKey(5))
     y, _ = conv.apply(p, st, jnp.asarray(np.asarray(g.x)), g)
-    assert np.asarray(y).shape == (128, 16)
+    assert np.asarray(y).shape == (g.num_nodes_padded, 16)
     assert np.all(np.isfinite(np.asarray(y)))
 
 
@@ -126,8 +126,8 @@ def test_blocks(rng_np):
     res = cs.ResGraphBlock(16, conv="mr")
     p, st = res.init(jax.random.PRNGKey(6))
     y, _ = res.apply(p, st, jnp.asarray(np.asarray(g.x)), g)
-    assert y.shape == (128, 16)
+    assert y.shape == (g.num_nodes_padded, 16)
     dense = cs.DenseGraphBlock(16, 8, conv="edge")
     p, st = dense.init(jax.random.PRNGKey(7))
     y, _ = dense.apply(p, st, jnp.asarray(np.asarray(g.x)), g)
-    assert y.shape == (128, 24)
+    assert y.shape == (g.num_nodes_padded, 24)

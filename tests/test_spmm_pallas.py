@@ -1,0 +1,101 @@
+"""Golden tests for the Pallas CSR kernels (interpret mode on CPU) against the XLA
+reference implementations in ops/segment.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_gcns_torch_tpu.graph import build_graph
+from deep_gcns_torch_tpu.ops import segment as seg
+from deep_gcns_torch_tpu.ops import spmm_pallas as sp
+from np_ref import random_graph
+
+
+def make_csr_graph(rng_np, n=500, e=3000, c=24, node_pad=512, edge_pad=3072):
+    x, s, r = random_graph(rng_np, n, e, c)
+    g = build_graph(x, s, r, node_pad=node_pad, edge_pad=edge_pad, with_row_ptr=True)
+    msgs = np.zeros((g.num_edges_padded, c), np.float32)
+    msgs[:e] = np.maximum(x[s], 0) + 1e-7
+    return g, jnp.asarray(msgs)
+
+
+def test_segment_sum_csr_matches_xla(rng_np):
+    g, msgs = make_csr_graph(rng_np)
+    got = sp.segment_sum_csr(msgs, jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
+                             True)
+    want = seg.segment_sum(msgs, jnp.asarray(g.receivers), g.num_nodes_padded,
+                           mask=jnp.asarray(g.edge_mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_csr_grad(rng_np):
+    g, msgs = make_csr_graph(rng_np)
+    recv = jnp.asarray(g.receivers)
+    rp = jnp.asarray(g.row_ptr)
+    gmask = jnp.asarray(g.edge_mask)
+
+    def f_pallas(m):
+        return jnp.sum(sp.segment_sum_csr(m, recv, rp, True) ** 2)
+
+    def f_xla(m):
+        return jnp.sum(seg.segment_sum(m, recv, g.num_nodes_padded, mask=gmask) ** 2)
+
+    g1 = jax.grad(f_pallas)(msgs)
+    g2 = jax.grad(f_xla)(msgs)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("t", [0.5, 1.0, 3.0])
+def test_softmax_aggregate_csr_matches_xla(rng_np, t):
+    g, msgs = make_csr_graph(rng_np)
+    recv = jnp.asarray(g.receivers)
+    got = sp.gen_softmax_aggregate_csr(msgs, recv, jnp.asarray(g.row_ptr),
+                                       jnp.float32(t), False, True)
+    want = seg.generalized_aggregate(msgs, recv, g.num_nodes_padded, aggr="softmax",
+                                     t=t, mask=jnp.asarray(g.edge_mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_softmax_aggregate_power_law_degrees(rng_np):
+    """Heavy-tail degrees: one node receives most edges (spans many chunks)."""
+    n, e, c = 300, 4096, 8
+    r = np.concatenate([np.zeros(3000, np.int32),
+                        rng_np.integers(0, n, e - 3000).astype(np.int32)])
+    r.sort()
+    s = rng_np.integers(0, n, e).astype(np.int32)
+    x = rng_np.standard_normal((n, c)).astype(np.float32)
+    g = build_graph(x, s, r, node_pad=512, edge_pad=4096, with_row_ptr=True)
+    msgs = np.zeros((g.num_edges_padded, c), np.float32)
+    msgs[:e] = np.maximum(x[np.asarray(g.senders)[:e]], 0) + 1e-7
+    msgs = jnp.asarray(msgs)
+    got = sp.gen_softmax_aggregate_csr(msgs, jnp.asarray(g.receivers),
+                                       jnp.asarray(g.row_ptr), jnp.float32(1.0),
+                                       False, True)
+    want = seg.generalized_aggregate(msgs, jnp.asarray(g.receivers),
+                                     g.num_nodes_padded, aggr="softmax", t=1.0,
+                                     mask=jnp.asarray(g.edge_mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("grad_weights", [False, True])
+def test_softmax_aggregate_grads(rng_np, grad_weights):
+    g, msgs = make_csr_graph(rng_np, n=200, e=1200, c=8, node_pad=256, edge_pad=1536)
+    recv = jnp.asarray(g.receivers)
+    rp = jnp.asarray(g.row_ptr)
+    emask = jnp.asarray(g.edge_mask)
+    t0 = jnp.float32(1.7)
+
+    def f_pallas(m, t):
+        return jnp.sum(sp.gen_softmax_aggregate_csr(m, recv, rp, t, grad_weights,
+                                                    True) ** 2)
+
+    def f_xla(m, t):
+        out = seg.generalized_aggregate(m, recv, g.num_nodes_padded, aggr="softmax",
+                                        t=t, learn_t=grad_weights, mask=emask)
+        return jnp.sum(out ** 2)
+
+    (gm1, gt1) = jax.grad(f_pallas, argnums=(0, 1))(msgs, t0)
+    (gm2, gt2) = jax.grad(f_xla, argnums=(0, 1))(msgs, t0)
+    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm2), rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(float(gt1), float(gt2), rtol=5e-4, atol=1e-5)
