@@ -1,0 +1,101 @@
+"""Random graph partitioning for cluster-wise training (ogbn-proteins workflow).
+
+Rebuild of `utils/data_util.py:43-61` + `examples/ogb/ogbn_proteins/dataset.py:111-151`:
+uniform-random node partition into k clusters; per-cluster subgraph keeps only
+intra-cluster edges (cross-cluster edges dropped — the loss is logged, reference
+`dataset.py:141-142`); eval averages predictions over several independent partitions
+(`main.py:158-173`).
+
+Here every cluster is padded to one fixed (node_pad, edge_pad) bucket so a single
+compiled train step serves all clusters — and N clusters can train simultaneously,
+one per chip (parallel/data_parallel.py)."""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph import Graph, build_graph
+
+
+def random_partition_graph(rng: np.random.Generator, num_nodes: int,
+                           cluster_number: int = 10) -> np.ndarray:
+    """parts[i] = cluster of node i (uniform random, `utils/data_util.py:43-45`)."""
+    return rng.integers(0, cluster_number, num_nodes).astype(np.int32)
+
+
+def generate_sub_graphs(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    parts: np.ndarray,
+    cluster_number: int,
+    *,
+    edge_attr: Optional[np.ndarray] = None,
+    node_feats: Optional[Sequence[np.ndarray]] = None,
+    node_pad: Optional[int] = None,
+    edge_pad: Optional[int] = None,
+    log_edge_loss: bool = True,
+) -> Tuple[List[Graph], List[np.ndarray], List[List[np.ndarray]]]:
+    """Split into per-cluster padded Graphs.
+
+    Returns (graphs, node_index_lists, per_cluster_node_feats) where
+    node_index_lists[c] gives the ORIGINAL node ids of cluster c's rows (for
+    reassembling full-graph predictions, `ogbn_proteins/main.py:112-120`).
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    num_nodes = parts.shape[0]
+
+    # global → local ids
+    local_id = np.zeros(num_nodes, np.int64)
+    node_lists = []
+    for c in range(cluster_number):
+        ids = np.flatnonzero(parts == c)
+        local_id[ids] = np.arange(ids.size)
+        node_lists.append(ids)
+
+    same = parts[senders] == parts[receivers]
+    if log_edge_loss:
+        lost = 1.0 - same.mean() if senders.size else 0.0
+        logging.getLogger("deep_gcns_torch_tpu").info(
+            "partition into %d clusters drops %.2f%% cross-cluster edges",
+            cluster_number, 100 * lost)
+
+    if node_pad is None:
+        node_pad = ((max(len(l) for l in node_lists) + 255) // 256) * 256
+    ecounts = []
+    cl_edges = []
+    for c in range(cluster_number):
+        m = same & (parts[senders] == c)
+        cl_edges.append((local_id[senders[m]], local_id[receivers[m]], m))
+        ecounts.append(int(m.sum()))
+    if edge_pad is None:
+        edge_pad = ((max(ecounts) + 511) // 512) * 512
+
+    graphs, feats_out = [], []
+    for c in range(cluster_number):
+        ls, lr, m = cl_edges[c]
+        ea = edge_attr[m] if edge_attr is not None else None
+        g = build_graph(None, ls, lr, edge_attr=ea,
+                        num_nodes=len(node_lists[c]), node_pad=node_pad,
+                        edge_pad=edge_pad)
+        graphs.append(g)
+        if node_feats is not None:
+            padded = []
+            for nf in node_feats:
+                out = np.zeros((node_pad,) + nf.shape[1:], nf.dtype)
+                out[: len(node_lists[c])] = nf[node_lists[c]]
+                padded.append(out)
+            feats_out.append(padded)
+    return graphs, node_lists, feats_out
+
+
+def scatter_predictions(preds: Sequence[np.ndarray], node_lists: Sequence[np.ndarray],
+                        num_nodes: int) -> np.ndarray:
+    """Reassemble per-cluster padded predictions into full-graph order."""
+    out = np.zeros((num_nodes,) + preds[0].shape[1:], preds[0].dtype)
+    for p, ids in zip(preds, node_lists):
+        out[ids] = p[: len(ids)]
+    return out

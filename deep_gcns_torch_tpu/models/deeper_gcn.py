@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..convs.sparse import GENConv
 from ..graph import Graph
-from ..nn.core import Linear, Module, MultiEmbedding, dropout, make_norm
+from ..nn.core import MLP, Linear, Module, MultiEmbedding, dropout, make_norm
 from ..ops.segment import scatter
 
 Array = jax.Array
@@ -51,20 +51,33 @@ class DeeperGCNConfig:
     node_encoder: str = "linear"
     atom_feature_dims: Optional[Tuple[int, ...]] = None
     # edge features: 'none' | 'one_time' (encode once at model level, proteins
-    # conv_encode_edge=False path) | 'per_layer' (GENConv encodes each layer) |
-    # 'bond' (per-layer BondEncoder, ogbg_mol)
+    # conv_encode_edge=False path: `ogbn_proteins/model.py:90`) | 'one_time_bond'
+    # (model-level BondEncoder, ogbg_mol conv_encode_edge=False: `ogbg_mol/model.py:87`)
+    # | 'per_layer' (GENConv encodes each layer) | 'bond' (per-layer BondEncoder)
     edge_mode: str = "none"
     edge_feat_dim: int = 0
     bond_feature_dims: Optional[Tuple[int, ...]] = None
     # graph-level pooling head ('' = node-level output)
     graph_pooling: str = ""
     remat: bool = True
+    # virtual node (ogbg_mol: `ogbg_mol/model.py:57-65,121-132`), res+ only
+    add_virtual_node: bool = False
+    # final head shape: arxiv/proteins/products/collab apply ReLU after the last
+    # norm; mol and ppa do not (`ogbg_mol/model.py:135-137`, `ogbg_ppa/model.py:102`)
+    final_relu: bool = True
+    final_dropout: bool = True
+    # proteins: concat aggregated node features with a Linear(8,8) one-hot encoding
+    # (`ogbn_proteins/model.py:84-101`); x = species one-hot, node_feats = aggregated
+    use_one_hot_encoding: bool = False
+    node_feat_dim: int = 0
 
 
 class DeeperGCN(Module):
     def __init__(self, cfg: DeeperGCNConfig):
         self.cfg = cfg
         c = cfg
+        assert not (c.add_virtual_node and c.block != "res+"), \
+            "virtual node is wired for res+ (the reference's used config)"
         per_layer_edge = c.edge_mode in ("per_layer", "bond")
         self._gcn = GENConv(
             c.hidden_channels, c.hidden_channels, aggr=c.aggr, t=c.t,
@@ -75,15 +88,29 @@ class DeeperGCN(Module):
             bond_feature_dims=c.bond_feature_dims,
             norm=c.norm, mlp_layers=c.mlp_layers)
         self._norm = make_norm(c.norm, c.hidden_channels)
+        self._one_hot = None
         if c.node_encoder == "atom":
             assert c.atom_feature_dims is not None
             self._encoder: Module = MultiEmbedding(tuple(c.atom_feature_dims),
                                                    c.hidden_channels)
+        elif c.use_one_hot_encoding:
+            self._one_hot = Linear(c.in_channels, c.in_channels)
+            self._encoder = Linear(c.node_feat_dim + c.in_channels,
+                                   c.hidden_channels)
         else:
             self._encoder = Linear(c.in_channels, c.hidden_channels)
         self._pred = Linear(c.hidden_channels, c.num_tasks)
-        self._edge_encoder = (Linear(c.edge_feat_dim, c.hidden_channels)
-                              if c.edge_mode == "one_time" else None)
+        if c.edge_mode == "one_time":
+            self._edge_encoder: Optional[Module] = Linear(c.edge_feat_dim,
+                                                          c.hidden_channels)
+        elif c.edge_mode == "one_time_bond":
+            assert c.bond_feature_dims is not None
+            self._edge_encoder = MultiEmbedding(tuple(c.bond_feature_dims),
+                                                c.hidden_channels)
+        else:
+            self._edge_encoder = None
+        self._vn_mlp = (MLP((c.hidden_channels,) * 3, norm=c.norm)
+                        if c.add_virtual_node else None)
 
     # -- init ---------------------------------------------------------------
     def init(self, key):
@@ -104,6 +131,12 @@ class DeeperGCN(Module):
 
         params["gcns"], state["gcns"] = stack_init(self._gcn, ks[3], L)
         params["norms"], state["norms"] = stack_init(self._norm, ks[4], L)
+        if self._one_hot is not None:
+            params["one_hot_encoder"], _ = self._one_hot.init(ks[5])
+        if self._vn_mlp is not None:
+            params["vn_emb"] = jnp.zeros((1, c.hidden_channels))
+            params["vn_mlps"], state["vn_mlps"] = stack_init(
+                self._vn_mlp, jax.random.fold_in(ks[5], 1), L - 1)
         return params, state
 
     # -- helpers ------------------------------------------------------------
@@ -116,15 +149,28 @@ class DeeperGCN(Module):
 
     # -- forward ------------------------------------------------------------
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
-              rng: Optional[Array] = None, axis_name: Optional[str] = None, **kw):
+              rng: Optional[Array] = None, axis_name: Optional[str] = None,
+              node_feats: Optional[Array] = None, **kw):
         c = self.cfg
         L = c.num_layers
+        if self._one_hot is not None:
+            assert node_feats is not None, "use_one_hot_encoding needs node_feats"
+            oh, _ = self._one_hot.apply(params["one_hot_encoder"], {}, x)
+            x = jnp.concatenate([node_feats, oh], axis=1)
         h, _ = self._encoder.apply(params["encoder"], {}, x)
 
         edge_emb = None
         if self._edge_encoder is not None and g.edge_attr is not None:
             edge_emb, _ = self._edge_encoder.apply(params["edge_encoder"], {},
                                                    g.edge_attr)
+
+        # virtual node: one zero-init embedding per graph (`ogbg_mol/model.py:108-112`)
+        vn = None
+        if self._vn_mlp is not None:
+            assert g.node_graph is not None
+            vn = jnp.broadcast_to(params["vn_emb"], (g.num_graphs, c.hidden_channels))
+            vn_gather = jnp.take(vn, jnp.minimum(g.node_graph, g.num_graphs - 1), 0)
+            h = h + jnp.where(g.node_mask[:, None], vn_gather, 0)
 
         nmask = g.node_mask
         drop = c.dropout
@@ -141,7 +187,7 @@ class DeeperGCN(Module):
                                        h, g, edge_emb, train, layer_rng(0), axis_name)
 
             def body(carry, inp):
-                h = carry
+                h, vn = carry
                 i = inp  # layer index 1..L-1
                 np_ = self._slice(params["norms"], i - 1)
                 ns_ = self._slice(state["norms"], i - 1)
@@ -153,20 +199,41 @@ class DeeperGCN(Module):
                 h2 = jax.nn.relu(h1)
                 h2 = dropout(h2, drop, train=train,
                              rng=None if r is None else jax.random.fold_in(r, 1))
+                vn_out = vn
+                aux = ()
+                if vn is not None:
+                    # `ogbg_mol/model.py:121-132`
+                    pooled = scatter("sum", h2, g.node_graph, g.num_graphs,
+                                     mask=nmask)
+                    vn_tmp = pooled + vn
+                    mp = self._slice(params["vn_mlps"], i - 1)
+                    ms = self._slice(state["vn_mlps"], i - 1)
+                    vn_new, vn_ms = self._vn_mlp.apply(mp, ms, vn_tmp, train=train,
+                                                       rng=r, axis_name=axis_name)
+                    vn_out = dropout(
+                        vn_new, drop, train=train,
+                        rng=None if r is None else jax.random.fold_in(r, 2))
+                    h2 = h2 + jnp.take(vn_out,
+                                       jnp.minimum(g.node_graph, g.num_graphs - 1),
+                                       0) * nmask[:, None]
+                    aux = (vn_ms,)
                 res, gs_out = self._apply_layer(gp_, gss, h2, g, edge_emb, train, r,
                                                 axis_name)
-                return h + res, (ns_out, gs_out)
+                return (h + res, vn_out), (ns_out, gs_out) + aux
 
             body_fn = jax.checkpoint(body) if c.remat else body
-            h, (norm_states, gcn_states) = jax.lax.scan(body_fn, h, jnp.arange(1, L))
+            (h, vn), scanned = jax.lax.scan(body_fn, (h, vn), jnp.arange(1, L))
+            norm_states, gcn_states = scanned[0], scanned[1]
+            vn_states = scanned[2] if len(scanned) > 2 else None
 
             # final norm uses norms[L-1]
             npL = self._slice(params["norms"], L - 1)
             nsL = self._slice(state["norms"], L - 1)
             h1, nsL_out = self._norm.apply(npL, nsL, h, train=train, mask=nmask,
                                            axis_name=axis_name)
-            h = jax.nn.relu(h1)
-            h = dropout(h, drop, train=train, rng=layer_rng(L))
+            h = jax.nn.relu(h1) if c.final_relu else h1
+            if c.final_dropout:
+                h = dropout(h, drop, train=train, rng=layer_rng(L))
 
             # reassemble stacked states (gcn0 + scanned, scanned norms + last)
             new_state = {
@@ -177,6 +244,8 @@ class DeeperGCN(Module):
                     lambda rest, last: jnp.concatenate([rest, last[None]], 0),
                     norm_states, nsL_out),
             }
+            if vn_states is not None:
+                new_state["vn_mlps"] = vn_states
 
         elif c.block in ("res", "plain"):
             def body(carry, inp):

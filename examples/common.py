@@ -1,0 +1,82 @@
+"""Shared scaffolding for the example apps (the reference keeps a per-app OptInit
+argparse class + main loop, e.g. `examples/ogb/ogbn_arxiv/{args,main}.py`; here the
+common mechanics live in one place and each app stays a thin, flag-compatible CLI)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--use_gpu", action="store_true", help="(ignored; TPU-native)")
+    p.add_argument("--platform", type=str, default="",
+                   help="force jax platform (e.g. cpu) — useful for smoke tests")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--data_root", type=str, default="data/")
+    p.add_argument("--exp_root", type=str, default="runs/")
+    p.add_argument("--exp_name", type=str, default="exp")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on synthetic data (no dataset download available)")
+    p.add_argument("--synthetic_nodes", type=int, default=4096)
+    p.add_argument("--pretrained_model", type=str, default="",
+                   help="checkpoint prefix to resume from")
+    p.add_argument("--save_ckpt", action="store_true")
+    return p
+
+
+def add_deeper_gcn_flags(p: argparse.ArgumentParser, *, num_layers=28,
+                         hidden=128, norm="batch", t=1.0, aggr="softmax"):
+    """The reference's DeeperGCN flag surface (`examples/ogb/ogbn_arxiv/args.py`)."""
+    p.add_argument("--num_layers", type=int, default=num_layers)
+    p.add_argument("--hidden_channels", type=int, default=hidden)
+    p.add_argument("--block", type=str, default="res+")
+    p.add_argument("--conv", type=str, default="gen")
+    p.add_argument("--gcn_aggr", type=str, default=aggr)
+    p.add_argument("--norm", type=str, default=norm)
+    p.add_argument("--mlp_layers", type=int, default=1)
+    p.add_argument("--t", type=float, default=t)
+    p.add_argument("--learn_t", action="store_true")
+    p.add_argument("--p", type=float, default=1.0)
+    p.add_argument("--learn_p", action="store_true")
+    p.add_argument("--y", type=float, default=0.0)
+    p.add_argument("--learn_y", action="store_true")
+    p.add_argument("--msg_norm", action="store_true")
+    p.add_argument("--learn_msg_scale", action="store_true")
+    return p
+
+
+def setup_experiment(args, name: str):
+    from deep_gcns_torch_tpu.utils.logger import (ScalarLogger, create_exp_dir,
+                                                  setup_logging)
+
+    exp = create_exp_dir(args.exp_root, f"{name}-{args.exp_name}")
+    logger = setup_logging(exp)
+    logger.info("args: %s", vars(args))
+    return exp, logger, ScalarLogger(exp)
+
+
+class EpochTimer:
+    def __init__(self):
+        self.t0 = time.time()
+        self.times = []
+
+    def lap(self):
+        t = time.time()
+        self.times.append(t - self.t0)
+        self.t0 = t
+        return self.times[-1]
+
+    def mean(self):
+        return float(np.mean(self.times)) if self.times else 0.0

@@ -1,0 +1,117 @@
+"""DeepGCN classifier on ModelNet40.
+
+Rebuild of `examples/modelnet_cls/main.py` (ResEdgeConv-14, SGD+cosine, smooth-CE,
+OA + balanced-acc protocol; paper OA ≈ 93.6, `examples/modelnet_cls/README.md`).
+Run: python examples/modelnet_cls/main.py --synthetic --epochs 5
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import EpochTimer, base_parser, setup_experiment  # noqa: E402
+
+
+def get_args():
+    p = base_parser("DeepGCN ModelNet40 classification (TPU)")
+    p.add_argument("--k", type=int, default=9)
+    p.add_argument("--block", type=str, default="res")
+    p.add_argument("--conv", type=str, default="edge")
+    p.add_argument("--act", type=str, default="relu")
+    p.add_argument("--norm", type=str, default="batch")
+    p.add_argument("--n_blocks", type=int, default=14)
+    p.add_argument("--n_filters", type=int, default=64)
+    p.add_argument("--in_channels", type=int, default=3)
+    p.add_argument("--n_classes", type=int, default=40)
+    p.add_argument("--emb_dims", type=int, default=1024)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--use_dilation", action="store_true", default=True)
+    p.add_argument("--use_stochastic", action="store_true", default=True)
+    p.add_argument("--epsilon", type=float, default=0.2)
+    p.set_defaults(epochs=400, lr=0.1, dropout=0.5)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deep_gcns_torch_tpu.data import pointcloud as pc
+    from deep_gcns_torch_tpu.models import DeepGCNCls, DeepGCNConfig
+    from deep_gcns_torch_tpu.utils.loss import smooth_cross_entropy
+    from deep_gcns_torch_tpu.utils.metrics import accuracy, balanced_accuracy
+
+    exp, logger, scalars = setup_experiment(args, "modelnet_cls")
+    rng = np.random.default_rng(args.seed)
+
+    if args.synthetic:
+        tr_x, tr_y = pc.synthetic_modelnet(rng, 256, args.num_points, args.n_classes)
+        te_x, te_y = pc.synthetic_modelnet(rng, 64, args.num_points, args.n_classes)
+    else:
+        tr_x, tr_y = pc.load_modelnet40(args.data_root, "train", args.num_points)
+        te_x, te_y = pc.load_modelnet40(args.data_root, "test", args.num_points)
+
+    model = DeepGCNCls(DeepGCNConfig(
+        in_channels=args.in_channels, n_classes=args.n_classes,
+        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
+        act=args.act, norm=args.norm, block=args.block, dropout=args.dropout,
+        k=args.k, use_dilation=args.use_dilation, stochastic=args.use_stochastic,
+        epsilon=args.epsilon, emb_dims=args.emb_dims))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
+    steps_per_epoch = max(len(tr_x) // args.batch_size, 1)
+    # SGD + cosine (`examples/modelnet_cls/main.py:21-27`)
+    sched = optax.cosine_decay_schedule(args.lr, args.epochs * steps_per_epoch,
+                                        alpha=0.001 / args.lr)
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(sched, momentum=0.9))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, state, opt_state, x, y, key):
+        def loss_fn(p):
+            logits, s2 = model.apply(p, state, x, train=True, rng=key)
+            return smooth_cross_entropy(logits, y, 0.2), s2
+
+        (loss, s2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), s2, opt2, loss
+
+    @jax.jit
+    def predict(params, state, x):
+        logits, _ = model.apply(params, state, x, train=False)
+        return jnp.argmax(logits, -1)
+
+    timer = EpochTimer()
+    key = jax.random.PRNGKey(args.seed + 1)
+    best_oa = 0.0
+    for epoch in range(args.epochs):
+        losses = []
+        for x, y in pc.batch_iter(rng, tr_x, tr_y, args.batch_size, augment=True):
+            key, sub = jax.random.split(key)
+            params, state, opt_state, loss = train_step(
+                params, state, opt_state, jnp.asarray(x), jnp.asarray(y), sub)
+            losses.append(float(loss))
+        preds, ys = [], []
+        for x, y in pc.batch_iter(rng, te_x, te_y, args.batch_size, shuffle=False):
+            preds.append(np.asarray(predict(params, state, jnp.asarray(x))))
+            ys.append(y)
+        pred = np.concatenate(preds)
+        yy = np.concatenate(ys)
+        oa, ba = accuracy(pred, yy), balanced_accuracy(pred, yy)
+        best_oa = max(best_oa, oa)
+        logger.info("epoch %d loss %.4f OA %.4f balanced %.4f (%.1fs)", epoch,
+                    float(np.mean(losses)), oa, ba, timer.lap())
+        scalars.log(epoch, loss=float(np.mean(losses)), oa=oa, balanced=ba)
+    logger.info("best OA %.4f", best_oa)
+    return best_oa
+
+
+if __name__ == "__main__":
+    main()

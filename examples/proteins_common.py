@@ -1,0 +1,165 @@
+"""Shared ogbn-proteins training machinery (used by the DeeperGCN app and the
+reversible RevGCN app): species one-hot + edge-aggregated node features, per-epoch
+random partition cluster training, multi-partition averaged evaluation with ROC-AUC
+(`examples/ogb/ogbn_proteins/main.py`, `examples/ogb_eff/ogbn_proteins/main.py`)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_proteins(args, rng):
+    """Returns dict with senders, receivers, edge_attr [E,8], species [N,8],
+    node_feats [N,8], labels [N,112], splits."""
+    if args.synthetic:
+        n = args.synthetic_nodes
+        deg = getattr(args, "synthetic_degree", 30)
+        e = n * deg
+        senders = rng.integers(0, n, e)
+        receivers = rng.integers(0, n, e)
+        edge_attr = rng.random((e, 8)).astype(np.float32)
+        species = np.eye(8, dtype=np.float32)[rng.integers(0, 8, n)]
+        # learnable signal: labels correlate with aggregated edge features
+        from deep_gcns_torch_tpu.data.ogb import extract_node_features_from_edges
+
+        node_feats = extract_node_features_from_edges(senders, receivers, edge_attr, n)
+        w = rng.standard_normal((8, 112)).astype(np.float32)
+        logits = (node_feats - node_feats.mean(0)) @ w
+        labels = (logits > 0).astype(np.float32)
+        perm = rng.permutation(n)
+        splits = {"train": perm[: int(0.65 * n)],
+                  "valid": perm[int(0.65 * n): int(0.8 * n)],
+                  "test": perm[int(0.8 * n):]}
+    else:
+        from deep_gcns_torch_tpu.data.ogb import (extract_node_features_from_edges,
+                                                  load_ogb_node)
+
+        ds = load_ogb_node("ogbn-proteins", args.data_root)
+        senders, receivers, edge_attr = ds.senders, ds.receivers, ds.edge_attr
+        n = ds.labels.shape[0]
+        species = ds.x  # one-hot species (`dataset.py:53-66`)
+        node_feats = extract_node_features_from_edges(senders, receivers,
+                                                      edge_attr, n)
+        labels = ds.labels.astype(np.float32)
+        splits = ds.splits
+    return dict(senders=senders, receivers=receivers, edge_attr=edge_attr,
+                species=species, node_feats=node_feats, labels=labels,
+                splits=splits, num_nodes=len(species))
+
+
+def run_proteins(args, model_builder, name: str):
+    """Generic partition-train / multi-eval loop.
+
+    model_builder(in_args, data) -> (model, init_fn_extra_kwargs) where the model
+    follows the framework Module protocol and takes (x=species, node_feats=...,
+    g) inputs."""
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import optax
+
+    from common import EpochTimer, setup_experiment
+    from deep_gcns_torch_tpu.data.partition import (generate_sub_graphs,
+                                                    random_partition_graph,
+                                                    scatter_predictions)
+    from deep_gcns_torch_tpu.utils.loss import bce_with_logits
+    from deep_gcns_torch_tpu.utils.metrics import roc_auc
+
+    exp, logger, scalars = setup_experiment(args, name)
+    rng = np.random.default_rng(args.seed)
+    data = load_proteins(args, rng)
+    n = data["num_nodes"]
+    labels = data["labels"]
+
+    model = model_builder(args, data)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    # fixed padded bucket across clusters/epochs → one compiled program
+    node_pad = ((n // args.cluster_number + 1023) // 256 + 1) * 256
+    edge_pad = None  # computed on first partition, then reused
+
+    @jax.jit
+    def train_step(params, state, opt_state, g, species, nf, lab, lmask, key):
+        def loss_fn(p):
+            logits, s2 = model.apply(p, state, species, g, node_feats=nf,
+                                     train=True, rng=key)
+            return bce_with_logits(logits, lab, mask=lmask), s2
+
+        (loss, s2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), s2, opt2, loss
+
+    @jax.jit
+    def predict(params, state, g, species, nf):
+        logits, _ = model.apply(params, state, species, g, node_feats=nf,
+                                train=False)
+        return logits
+
+    train_mask_full = np.zeros(n, bool)
+    train_mask_full[data["splits"]["train"]] = True
+
+    def make_clusters(parts, ncl):
+        nonlocal edge_pad
+        # sticky growing edge bucket: stable compiled shapes, rare regrowth
+        counts = np.bincount(parts[data["senders"]][
+            parts[data["senders"]] == parts[data["receivers"]]], minlength=ncl)
+        needed = int(counts.max()) if counts.size else 1
+        if edge_pad is None or needed > edge_pad:
+            edge_pad = ((int(needed * 1.2) + 511) // 512) * 512
+        graphs, node_lists, feats = generate_sub_graphs(
+            data["senders"], data["receivers"], parts, ncl,
+            edge_attr=data["edge_attr"],
+            node_feats=[data["species"], data["node_feats"], labels,
+                        train_mask_full.astype(np.float32)[:, None]],
+            node_pad=node_pad, edge_pad=edge_pad)
+        return graphs, node_lists, feats
+
+    def evaluate(params, state, num_parts, num_evals):
+        """Averaged multi-partition eval (`ogb_eff/ogbn_proteins/main.py:158-173`)."""
+        pred_sum = np.zeros((n, labels.shape[1]), np.float32)
+        for e in range(num_evals):
+            parts = random_partition_graph(np.random.default_rng(1000 + e), n,
+                                           num_parts)
+            graphs, node_lists, feats = make_clusters(parts, num_parts)
+            preds = []
+            for g, f in zip(graphs, feats):
+                sp, nf = jnp.asarray(f[0]), jnp.asarray(f[1])
+                preds.append(np.asarray(predict(params, state,
+                                                jax.device_put(g), sp, nf)))
+            pred_sum += scatter_predictions(preds, node_lists, n)
+        pred = pred_sum / num_evals
+        return {k: roc_auc(pred[idx], labels[idx])
+                for k, idx in data["splits"].items()}
+
+    timer = EpochTimer()
+    key = jax.random.PRNGKey(args.seed + 1)
+    best_valid = -1.0
+    results = {}
+    for epoch in range(args.epochs):
+        parts = random_partition_graph(rng, n, args.cluster_number)
+        graphs, node_lists, feats = make_clusters(parts, args.cluster_number)
+        order = rng.permutation(args.cluster_number)
+        ep_loss = 0.0
+        for ci in order:
+            g, f = graphs[ci], feats[ci]
+            sp, nf = jnp.asarray(f[0]), jnp.asarray(f[1])
+            lab = jnp.asarray(f[2])
+            lmask = jnp.asarray(f[3][:, 0] > 0) & g.node_mask
+            key, sub = jax.random.split(key)
+            params, state, opt_state, loss = train_step(
+                params, state, opt_state, jax.device_put(g), sp, nf, lab, lmask, sub)
+            ep_loss += float(loss)
+        if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
+            results = evaluate(params, state, args.eval_parts, args.num_evals)
+            logger.info("epoch %d loss %.4f train %.4f valid %.4f test %.4f (%.1fs)",
+                        epoch, ep_loss / args.cluster_number, results["train"],
+                        results["valid"], results["test"], timer.lap())
+            scalars.log(epoch, loss=ep_loss / args.cluster_number,
+                        **{f"auc_{k}": v for k, v in results.items()})
+            best_valid = max(best_valid, results["valid"])
+    logger.info("best valid ROC-AUC %.4f; mean eval-epoch %.1fs", best_valid,
+                timer.mean())
+    return best_valid, results
