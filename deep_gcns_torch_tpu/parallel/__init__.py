@@ -1,4 +1,8 @@
 from .mesh import make_mesh
 from .data_parallel import cluster_dp_train_step
+from .spatial import (SpatialDeeperGCN, shard_graph, shard_nodes,
+                      spatial_forward, spatial_train_step)
 
-__all__ = ["make_mesh", "cluster_dp_train_step"]
+__all__ = ["make_mesh", "cluster_dp_train_step", "SpatialDeeperGCN",
+           "shard_graph", "shard_nodes", "spatial_forward",
+           "spatial_train_step"]

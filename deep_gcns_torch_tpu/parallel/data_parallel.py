@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..graph import Graph
 
@@ -71,7 +71,6 @@ def cluster_dp_train_step(
         _shard_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 2) if donate else ())
 
