@@ -1,0 +1,97 @@
+"""DGL-variant GATConv used by RevGAT (ogbn-arxiv).
+
+Rebuild of `examples/ogb_eff/ogbn_arxiv_dgl/model_rev.py:51-194`:
+  * score_e = leaky_relu(a_l·(W h)_src + [a_r·(W h)_dst]), per head;
+  * optional symmetric normalization: h_src scaled by out_deg^-1/2 before
+    aggregation, result scaled by in_deg^1/2 after (`:141-147, 180-185`);
+  * edge-drop: a per-layer keep-mask zeroes dropped edges BEFORE the softmax, so
+    attention renormalizes over kept edges only (`:166-172`; the reference keeps an
+    exact (1-p)·E subset via randperm — here a Bernoulli keep-mask, equal in
+    expectation, passed in explicitly so the reversible inverse reuses it);
+  * optional residual Linear (no bias), xavier-normal(gain=√2) inits;
+  * no implicit self-loops (the arxiv pipeline adds them to the graph).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import Graph
+from ..nn.core import Module
+from ..ops.segment import segment_degree, segment_softmax, segment_sum
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class SymGATConv(Module):
+    in_dim: int
+    out_dim: int      # per-head
+    num_heads: int = 1
+    edge_drop: float = 0.0
+    neg_slope: float = 0.2
+    use_attn_dst: bool = True
+    residual: bool = False
+    use_symmetric_norm: bool = False
+
+    def init(self, key):
+        k = jax.random.split(key, 4)
+        h, d = self.num_heads, self.out_dim
+        gain = 2.0 ** 0.5  # relu gain
+
+        def xavier_normal(key, shape, fan_in, fan_out):
+            std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+            return jax.random.normal(key, shape, jnp.float32) * std
+
+        params = {
+            "fc": xavier_normal(k[0], (self.in_dim, h * d), self.in_dim, h * d),
+            "attn_l": xavier_normal(k[1], (h, d), d, 1),
+        }
+        if self.use_attn_dst:
+            params["attn_r"] = xavier_normal(k[2], (h, d), d, 1)
+        if self.residual:
+            params["res_fc"] = xavier_normal(k[3], (self.in_dim, h * d),
+                                             self.in_dim, h * d)
+        return params, {}
+
+    def apply(self, params, state, x, g: Graph, *, train: bool = False,
+              keep_mask: Optional[Array] = None, **kw):
+        """keep_mask: optional [E] float/bool — edges kept by edge-drop (train)."""
+        n = x.shape[0]
+        h, d = self.num_heads, self.out_dim
+        feat = (x @ params["fc"]).reshape(n, h, d)
+
+        emask = g.edge_mask
+        if self.use_symmetric_norm:
+            out_deg = segment_degree(g.senders, n, mask=emask)
+            feat_src = feat * jnp.power(jnp.maximum(out_deg, 1.0),
+                                        -0.5)[:, None, None]
+        else:
+            feat_src = feat
+
+        el = jnp.einsum("nhd,hd->nh", feat_src, params["attn_l"])
+        score = jnp.take(el, jnp.minimum(g.senders, n - 1), axis=0)
+        if self.use_attn_dst:
+            er = jnp.einsum("nhd,hd->nh", feat, params["attn_r"])
+            score = score + jnp.take(er, jnp.minimum(g.receivers, n - 1), axis=0)
+        score = jax.nn.leaky_relu(score, self.neg_slope)
+
+        att_mask = emask
+        if train and self.edge_drop > 0 and keep_mask is not None:
+            att_mask = att_mask & (keep_mask > 0)
+        alpha = segment_softmax(score, g.receivers, n, mask=att_mask)
+
+        msg = jnp.take(feat_src, jnp.minimum(g.senders, n - 1), axis=0)
+        out = segment_sum(msg * alpha[..., None], g.receivers, n, mask=att_mask)
+
+        if self.use_symmetric_norm:
+            in_deg = segment_degree(g.receivers, n, mask=emask)
+            out = out * jnp.power(jnp.maximum(in_deg, 1.0), 0.5)[:, None, None]
+
+        if self.residual:
+            out = out + (x @ params["res_fc"]).reshape(n, h, d)
+        return out, state  # [N, H, D] — caller flattens or averages heads

@@ -1,0 +1,203 @@
+"""RevGAT — reversible GAT for ogbn-arxiv (DGL example family).
+
+Rebuild of `examples/ogb_eff/ogbn_arxiv_dgl/model_rev.py:257-365`:
+  * first & last layers: plain SymGATConv with residual;
+  * middle layers: GroupAdditiveCoupling of RevGATBlocks (BN→relu→shared-dropout→
+    GATConv) run through the O(1)-memory reversible scan;
+  * one shared dropout mask per forward, one edge-drop keep-mask per layer
+    (replicated across groups, `model_rev.py:343-357`);
+  * head: norm → act → dropout → last conv → mean over heads → bias
+    (`:358-365`).
+
+Deviation (documented): the reference's in-block BatchNorm keeps running stats that
+get multiply-updated by the reversible recompute; since arxiv is trained and
+evaluated FULL-BATCH on the same node set, this implementation uses current-batch
+statistics in both modes ("batch-stats norm"), which is state-free — required for
+exact reversibility — and statistically equivalent here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..convs.dgl_gat import SymGATConv
+from ..graph import Graph
+from ..nn.core import Module, dropout, shared_dropout_mask
+from ..rev.coupling import GroupAdditiveCoupling
+from ..rev.invertible import make_reversible_scan
+
+Array = jax.Array
+
+
+def _batch_stats_norm(params, x, mask, eps=1e-5):
+    """Affine normalization by current-batch column statistics over valid rows."""
+    m = mask[:, None].astype(x.dtype)
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mu = jnp.sum(x * m, axis=0) / cnt
+    var = jnp.sum(jnp.square(x - mu) * m, axis=0) / cnt
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+@dataclass(frozen=True)
+class RevGATBlock(Module):
+    """norm → relu → shared-dropout → SymGATConv, flattened heads
+    (`model_rev.py:197-254`)."""
+    in_dim: int
+    out_dim: int
+    n_heads: int = 1
+    edge_drop: float = 0.0
+    use_attn_dst: bool = True
+    use_symmetric_norm: bool = False
+
+    def _conv(self):
+        return SymGATConv(self.in_dim, self.out_dim, self.n_heads,
+                          edge_drop=self.edge_drop, use_attn_dst=self.use_attn_dst,
+                          residual=True, use_symmetric_norm=self.use_symmetric_norm)
+
+    def init(self, key):
+        k0, k1 = jax.random.split(key)
+        cp, _ = self._conv().init(k0)
+        return {"norm": {"scale": jnp.ones((self.in_dim,)),
+                         "bias": jnp.zeros((self.in_dim,))},
+                "conv": cp}, {}
+
+    def apply(self, params, state, x, g: Graph, *, chunk_args: Tuple = (),
+              train: bool = False, **kw):
+        dropout_mask = chunk_args[0] if len(chunk_args) > 0 else None
+        keep_mask = chunk_args[1] if len(chunk_args) > 1 else None
+        if keep_mask is not None:
+            keep_mask = keep_mask[:, 0] if keep_mask.ndim > 1 else keep_mask
+        h = _batch_stats_norm(params["norm"], x, g.node_mask)
+        h = jax.nn.relu(h)
+        if train and dropout_mask is not None:
+            h = h * dropout_mask
+        out, _ = self._conv().apply(params["conv"], {}, h, g, train=train,
+                                    keep_mask=keep_mask)
+        return out.reshape(out.shape[0], -1), state
+
+
+@dataclass(frozen=True)
+class RevGATConfig:
+    in_feats: int
+    n_classes: int = 40
+    n_hidden: int = 256
+    n_layers: int = 5
+    n_heads: int = 3
+    group: int = 2
+    dropout: float = 0.75
+    input_drop: float = 0.25
+    edge_drop: float = 0.3
+    use_attn_dst: bool = False
+    use_symmetric_norm: bool = True
+
+
+class RevGAT(Module):
+    def __init__(self, cfg: RevGATConfig):
+        self.cfg = cfg
+        c = cfg
+        hid = c.n_heads * c.n_hidden
+        assert hid % c.group == 0
+        self._first = SymGATConv(c.in_feats, c.n_hidden, c.n_heads,
+                                 edge_drop=c.edge_drop, use_attn_dst=c.use_attn_dst,
+                                 residual=True,
+                                 use_symmetric_norm=c.use_symmetric_norm)
+        self._mid_block = RevGATBlock(
+            hid // c.group, c.n_hidden // c.group, c.n_heads,
+            edge_drop=c.edge_drop, use_attn_dst=c.use_attn_dst,
+            use_symmetric_norm=c.use_symmetric_norm)
+        self._coupling = GroupAdditiveCoupling(self._mid_block, group=c.group)
+        self._last = SymGATConv(hid, c.n_classes, 1, edge_drop=c.edge_drop,
+                                use_attn_dst=c.use_attn_dst, residual=True,
+                                use_symmetric_norm=c.use_symmetric_norm)
+
+    def init(self, key):
+        c = self.cfg
+        ks = jax.random.split(key, 5)
+        params = {}
+        params["first"], _ = self._first.init(ks[0])
+        n_mid = c.n_layers - 2
+        keys = jax.vmap(lambda i: jax.random.fold_in(ks[1], i))(jnp.arange(n_mid))
+        params["mid"], _ = jax.vmap(self._coupling.init)(keys)
+        params["last"], _ = self._last.init(ks[2])
+        hid = c.n_heads * c.n_hidden
+        params["norm"] = {"scale": jnp.ones((hid,)), "bias": jnp.zeros((hid,))}
+        params["bias_last"] = jnp.zeros((c.n_classes,))
+        return params, {}
+
+    def apply(self, params, state, x, g: Graph, *, train: bool = False,
+              rng: Optional[Array] = None, axis_name=None, **kw):
+        c = self.cfg
+        E = g.num_edges_padded
+
+        def key(i):
+            return None if rng is None else jax.random.fold_in(rng, i)
+
+        h = dropout(x, c.input_drop, train=train, rng=key(0))
+        keep_first = None
+        keep_mid = None
+        keep_last = None
+        if train and c.edge_drop > 0 and rng is not None:
+            keep_first = (jax.random.uniform(key(1), (E,)) >= c.edge_drop
+                          ).astype(jnp.float32)
+            keep_mid = (jax.random.uniform(key(2), (c.n_layers - 2, E))
+                        >= c.edge_drop).astype(jnp.float32)
+            keep_last = (jax.random.uniform(key(3), (E,)) >= c.edge_drop
+                         ).astype(jnp.float32)
+
+        h, _ = self._first.apply(params["first"], {}, h, g, train=train,
+                                 keep_mask=keep_first)
+        h = h.reshape(h.shape[0], -1)  # flatten heads
+
+        mask = None
+        if train and c.dropout > 0:
+            mask = jax.lax.stop_gradient(
+                shared_dropout_mask(key(4), h.shape, c.dropout, h.dtype))
+
+        coupling = self._coupling
+
+        def fwd_one(p, h, diff):
+            m, keeps = diff
+            lp, keep = p
+            # keep-mask replicated per group (chunked along a width-G axis)
+            keep_rep = (None if keep is None else
+                        jnp.tile(keep[:, None], (1, coupling.group)))
+            return coupling.forward(lp, h, g, m, keep_rep, train=train)
+
+        def inv_one(p, y, diff):
+            m, keeps = diff
+            lp, keep = p
+            keep_rep = (None if keep is None else
+                        jnp.tile(keep[:, None], (1, coupling.group)))
+            return coupling.inverse(lp, y, g, m, keep_rep, train=train)
+
+        run = make_reversible_scan(fwd_one, inv_one)
+        scan_params = (params["mid"],
+                       keep_mid if keep_mid is not None
+                       else jnp.zeros((c.n_layers - 2, 0), jnp.float32))
+        # when no edge drop, pass empty keeps and treat as None inside
+        if keep_mid is None:
+            def fwd_one(p, h, diff):  # noqa: F811
+                m, _ = diff
+                lp, _keep = p
+                return coupling.forward(lp, h, g, m, None, train=train)
+
+            def inv_one(p, y, diff):  # noqa: F811
+                m, _ = diff
+                lp, _keep = p
+                return coupling.inverse(lp, y, g, m, None, train=train)
+
+            run = make_reversible_scan(fwd_one, inv_one)
+        h = run(scan_params, h, (mask, None))
+
+        h = _batch_stats_norm(params["norm"], h, g.node_mask)
+        h = jax.nn.relu(h)
+        h = dropout(h, c.dropout, train=train, rng=key(5))
+        out, _ = self._last.apply(params["last"], {}, h, g, train=train,
+                                  keep_mask=keep_last)
+        out = jnp.mean(out, axis=1)  # mean over heads (`model_rev.py:362`)
+        return out + params["bias_last"], state
