@@ -37,7 +37,8 @@ def main():
 
     model = DeeperGCN(DeeperGCNConfig(
         in_channels=C, hidden_channels=C, num_tasks=K, num_layers=L, block="res+",
-        aggr="softmax_sg", t=0.1, norm="batch", mlp_layers=1, dropout=0.5))
+        aggr="softmax_sg", t=0.1, norm="batch", mlp_layers=1, dropout=0.5,
+        compute_dtype="bfloat16"))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)

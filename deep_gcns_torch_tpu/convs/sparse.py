@@ -85,6 +85,9 @@ class GENConv(Module):
     norm: str = "batch"
     mlp_layers: int = 2
     eps: float = 1e-7
+    # 'bfloat16' halves HBM traffic on the gather/message/aggregate hot path
+    # (params and the update MLP stay f32; segment accumulation is f32 in-kernel)
+    compute_dtype: str = "float32"
 
     def _mlp(self) -> MLP:
         chans = [self.in_dim] + [self.in_dim * 2] * (self.mlp_layers - 1) + [self.emb_dim]
@@ -130,10 +133,11 @@ class GENConv(Module):
             elif not self.encode_edge:
                 edge_emb = ea
 
-        msg = gather(x, g.senders)
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else x.dtype
+        msg = gather(x.astype(cd), g.senders)
         if edge_emb is not None:
-            msg = msg + edge_emb
-        msg = jax.nn.relu(msg) + self.eps  # (`torch_vertex.py:78-85`)
+            msg = msg + edge_emb.astype(cd)
+        msg = jax.nn.relu(msg) + jnp.asarray(self.eps, cd)  # (`torch_vertex.py:78-85`)
 
         t = params.get("t", self.t)
         if isinstance(t, jax.Array) and not (
@@ -150,6 +154,7 @@ class GENConv(Module):
             msg, g.receivers, n, aggr=self.aggr, t=t, p=p, y=y,
             learn_t=self.learn_t, mask=g.edge_mask, row_ptr=g.row_ptr)
 
+        m = m.astype(x.dtype)
         if self.msg_norm:
             m, _ = MsgNorm(self.learn_msg_scale).apply(params["msg_norm"], {}, x, m)
 

@@ -16,7 +16,7 @@ def random_node_graph(rng: np.random.Generator, n: int, avg_degree: int, c: int,
                       num_classes: int = 0, edge_dim: int = 0,
                       node_pad: Optional[int] = None, edge_pad: Optional[int] = None,
                       self_loops: bool = False, undirected: bool = False,
-                      with_row_ptr: bool = False):
+                      with_row_ptr: bool = True):
     """Uniform random graph with features (and labels), returns (Graph, labels)."""
     e = n * avg_degree
     s = rng.integers(0, n, e)

@@ -111,10 +111,17 @@ def build_graph(
             num_nodes = int(max(senders.max(initial=-1), receivers.max(initial=-1)) + 1)
     n_node = int(num_nodes)
 
+    native_rp = None
     if sort_edges and n_edge > 0:
-        order = np.argsort(receivers, kind="stable")
-        senders = senders[order]
-        receivers = receivers[order]
+        from . import native
+
+        res = native.sort_edges_csr(senders, receivers, n_node)
+        if res is not None:  # C++ counting sort: O(E+N), ~10x numpy argsort
+            senders, receivers, order, native_rp = res
+        else:
+            order = np.argsort(receivers, kind="stable")
+            senders = senders[order]
+            receivers = receivers[order]
         if edge_attr is not None:
             edge_attr = np.asarray(edge_attr)[order]
 
@@ -149,10 +156,15 @@ def build_graph(
 
     rp = None
     if with_row_ptr:
-        counts = np.bincount(receivers[:n_edge], minlength=n_pad).astype(np.int64)
-        rp = np.zeros((n_pad + 1,), np.int32)
-        np.cumsum(counts, out=rp[1:][: n_pad])  # type: ignore[call-overload]
-        rp = rp.astype(np.int32)
+        if native_rp is not None:
+            rp = np.empty((n_pad + 1,), np.int32)
+            rp[: n_node + 1] = native_rp
+            rp[n_node + 1:] = native_rp[-1]
+        else:
+            counts = np.bincount(receivers[:n_edge], minlength=n_pad).astype(np.int64)
+            rp = np.zeros((n_pad + 1,), np.int32)
+            np.cumsum(counts, out=rp[1:][: n_pad])  # type: ignore[call-overload]
+            rp = rp.astype(np.int32)
 
     return Graph(
         x=None if x is None else pad_rows(np.asarray(x), n_pad),

@@ -70,6 +70,7 @@ class DeeperGCNConfig:
     # (`ogbn_proteins/model.py:84-101`); x = species one-hot, node_feats = aggregated
     use_one_hot_encoding: bool = False
     node_feat_dim: int = 0
+    compute_dtype: str = "float32"  # 'bfloat16' for the conv hot path
 
 
 class DeeperGCN(Module):
@@ -86,7 +87,7 @@ class DeeperGCN(Module):
             encode_edge=per_layer_edge, bond_encoder=(c.edge_mode == "bond"),
             edge_feat_dim=c.edge_feat_dim or None,
             bond_feature_dims=c.bond_feature_dims,
-            norm=c.norm, mlp_layers=c.mlp_layers)
+            norm=c.norm, mlp_layers=c.mlp_layers, compute_dtype=c.compute_dtype)
         self._norm = make_norm(c.norm, c.hidden_channels)
         self._one_hot = None
         if c.node_encoder == "atom":

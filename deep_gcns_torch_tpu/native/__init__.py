@@ -1,0 +1,123 @@
+"""Native (C++) host runtime: fast edge sorting / CSR / partition extraction.
+
+Compiled on first use with the system g++ (no pybind11 in this image — plain C ABI
++ ctypes). Falls back silently to the numpy implementations in graph.py /
+data/partition.py when no compiler is available; `available()` reports which path
+is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "graphbuild.cpp")
+_LIB = os.path.join(_HERE, "_graphbuild.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
+                                        < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sort_edges_csr.argtypes = [i32p, i32p, ctypes.c_int64,
+                                       ctypes.c_int32, i32p, i32p, i32p, i32p]
+        lib.sort_edges_csr.restype = None
+        lib.partition_edges.argtypes = [i32p, i32p, ctypes.c_int64, i32p,
+                                        ctypes.c_int32, ctypes.c_int32, i32p,
+                                        i64p, i32p]
+        lib.partition_edges.restype = ctypes.c_int64
+        lib.extract_cluster.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p,
+                                        ctypes.c_int32, i32p, i32p, i32p]
+        lib.extract_cluster.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, typ=ctypes.c_int32):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def sort_edges_csr(senders: np.ndarray, receivers: np.ndarray, num_nodes: int
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                       np.ndarray]]:
+    """Counting-sort edges by receiver → (senders, receivers, order, row_ptr);
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = len(senders)
+    out_s = np.empty(e, np.int32)
+    out_r = np.empty(e, np.int32)
+    order = np.empty(e, np.int32)
+    row_ptr = np.empty(num_nodes + 1, np.int32)
+    lib.sort_edges_csr(_ptr(senders), _ptr(receivers), e, num_nodes,
+                       _ptr(out_s), _ptr(out_r), _ptr(order), _ptr(row_ptr))
+    return out_s, out_r, order, row_ptr
+
+
+def partition_clusters(senders: np.ndarray, receivers: np.ndarray,
+                       parts: np.ndarray, n_clusters: int):
+    """Native per-cluster edge extraction: returns (local_id [N], cluster_sizes,
+    list of (local_senders, local_receivers, edge_idx)) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    parts = np.ascontiguousarray(parts, np.int32)
+    n = len(parts)
+    e = len(senders)
+    local_id = np.empty(n, np.int32)
+    sizes = np.empty(n_clusters, np.int64)
+    edge_cluster = np.empty(e, np.int32)
+    lib.partition_edges(_ptr(senders), _ptr(receivers), e, _ptr(parts), n,
+                        n_clusters, _ptr(local_id), _ptr(sizes, ctypes.c_int64),
+                        _ptr(edge_cluster))
+    out = []
+    for c in range(n_clusters):
+        cap = int((edge_cluster == c).sum())  # cheap vectorized count
+        ls = np.empty(cap, np.int32)
+        lr = np.empty(cap, np.int32)
+        ei = np.empty(cap, np.int32)
+        k = lib.extract_cluster(_ptr(senders), _ptr(receivers), e,
+                                _ptr(edge_cluster), _ptr(local_id), c,
+                                _ptr(ls), _ptr(lr), _ptr(ei))
+        out.append((ls[:k], lr[:k], ei[:k]))
+    return local_id, sizes, out
