@@ -25,6 +25,7 @@ from ..nn.core import (
 from ..ops.segment import (
     generalized_aggregate, scatter, segment_degree, segment_softmax, segment_sum,
 )
+from ..ops.gather import gather_src_auto
 from ..ops.knn import dilated_knn_graph_flat
 from ..graph import build_graph  # noqa: F401  (re-export convenience)
 
@@ -134,7 +135,7 @@ class GENConv(Module):
                 edge_emb = ea
 
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else x.dtype
-        msg = gather(x.astype(cd), g.senders)
+        msg = gather_src_auto(x.astype(cd), g)
         if edge_emb is not None:
             msg = msg + edge_emb.astype(cd)
         msg = jax.nn.relu(msg) + jnp.asarray(self.eps, cd)  # (`torch_vertex.py:78-85`)

@@ -59,6 +59,11 @@ class Graph:
     node_graph: Optional[Array] = None
     # CSR row pointer [N_pad + 1] int32 (edge offsets per receiver), optional.
     row_ptr: Optional[Array] = None
+    # CSC auxiliaries (edges re-sorted by SENDER) for the gather VJP: permutation
+    # from receiver-sorted order, sorted senders, column pointer. Optional.
+    csc_perm: Optional[Array] = None
+    csc_senders: Optional[Array] = None
+    csc_col_ptr: Optional[Array] = None
     # Static number of graphs in the batch (needed as static segment count for pooling).
     num_graphs: int = dataclasses.field(default=1, metadata=dict(static=True))
 
@@ -93,6 +98,7 @@ def build_graph(
     edge_pad_multiple: int = 512,
     sort_edges: bool = True,
     with_row_ptr: bool = True,
+    with_csc: bool = True,
 ) -> Graph:
     """Host-side constructor: sorts edges by receiver, pads to bucket sizes.
 
@@ -166,6 +172,28 @@ def build_graph(
             np.cumsum(counts, out=rp[1:][: n_pad])  # type: ignore[call-overload]
             rp = rp.astype(np.int32)
 
+    csc_perm = csc_senders = csc_col_ptr = None
+    if with_csc and n_edge > 0:
+        from . import native
+
+        res = native.sort_edges_csr(receivers[:n_edge], senders[:n_edge], n_node)
+        if res is not None:
+            _, ss, order, cp = res
+        else:
+            order = np.argsort(senders[:n_edge], kind="stable").astype(np.int32)
+            ss = senders[order]
+            counts = np.bincount(ss, minlength=n_node)
+            cp = np.zeros(n_node + 1, np.int64)
+            np.cumsum(counts, out=cp[1:])
+            cp = cp.astype(np.int32)
+        csc_perm = np.full((e_pad,), e_pad - 1, np.int32)
+        csc_perm[:n_edge] = order
+        csc_senders = np.full((e_pad,), sentinel, np.int32)
+        csc_senders[:n_edge] = ss
+        csc_col_ptr = np.empty((n_pad + 1,), np.int32)
+        csc_col_ptr[: n_node + 1] = cp
+        csc_col_ptr[n_node + 1:] = cp[-1]
+
     return Graph(
         x=None if x is None else pad_rows(np.asarray(x), n_pad),
         senders=s_p,
@@ -177,6 +205,9 @@ def build_graph(
         n_edge=np.int32(n_edge),
         node_graph=ng,
         row_ptr=rp,
+        csc_perm=csc_perm,
+        csc_senders=csc_senders,
+        csc_col_ptr=csc_col_ptr,
         num_graphs=num_graphs,
     )
 

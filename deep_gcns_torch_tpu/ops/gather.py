@@ -1,0 +1,58 @@
+"""Source-feature gather with a CSC (sender-sorted) backward pass.
+
+The VJP of ``x[senders]`` is a scatter-add over UNSORTED sender indices — XLA lowers
+it to a serial scatter that dominates the backward pass (~50 ms at 2.5M×128 on v5e).
+With the sender-sorted permutation precomputed on the host (Graph.csc_*), the same
+reduction becomes: permute cotangents into sender order (a gather), then the fused
+Pallas CSR segment-sum — 2-3× faster and deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .spmm_pallas import segment_sum_csr
+
+Array = jax.Array
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gather_src(x: Array, senders: Array, csc_perm: Array, csc_senders: Array,
+               csc_col_ptr: Array, interpret: bool = False) -> Array:
+    """x[senders] with sentinel clamp; bwd uses the CSC segment-sum kernel."""
+    return jnp.take(x, jnp.minimum(senders, x.shape[0] - 1), axis=0)
+
+
+def _fwd(x, senders, csc_perm, csc_senders, csc_col_ptr, interpret):
+    out = jnp.take(x, jnp.minimum(senders, x.shape[0] - 1), axis=0)
+    return out, (csc_perm, csc_senders, csc_col_ptr)
+
+
+def _bwd(interpret, res, g):
+    csc_perm, csc_senders, csc_col_ptr = res
+    n_pad = csc_col_ptr.shape[0] - 1
+    g_sorted = jnp.take(g, csc_perm, axis=0)
+    # zero the padding slots (perm points them at an arbitrary row)
+    g_sorted = jnp.where((csc_senders < n_pad)[:, None], g_sorted, 0)
+    dx = segment_sum_csr(g_sorted, csc_senders, csc_col_ptr, interpret)
+    return dx, None, None, None, None
+
+
+gather_src.defvjp(_fwd, _bwd)
+
+
+def gather_src_auto(x: Array, g) -> Array:
+    """Use the CSC backward when the graph carries CSC aux and shapes are
+    kernel-aligned on TPU; plain take otherwise."""
+    from .segment import _pallas_ok
+
+    if (g.csc_perm is not None
+            and _pallas_ok("sum", g.csc_col_ptr, g.senders[:, None]
+                           if g.senders.ndim == 1 else g.senders,
+                           g.num_nodes_padded)):
+        return gather_src(x, g.senders, g.csc_perm, g.csc_senders, g.csc_col_ptr)
+    return jnp.take(x, jnp.minimum(g.senders, x.shape[0] - 1), axis=0)

@@ -39,16 +39,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-BN = 256      # node rows per block
+BN = 128      # node rows per block
 CHUNK = 512   # edges per tile
 
 
 def _dot(a, b):
-    # HIGHEST keeps f32 accuracy on the MXU (bf16x3 decomposition); the default
-    # bf16 truncation breaks torch-f32 parity (~1e-2 relative error).
+    # f32 inputs need HIGHEST (bf16x3 decomposition) for torch-f32 parity — the
+    # default bf16 truncation gives ~1e-2 relative error. bf16 inputs are already
+    # exact on the MXU with f32 accumulation (and Mosaic rejects HIGHEST for them).
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32)
 
 
@@ -166,14 +169,18 @@ def _softmax_agg_kernel(row_ptr, t_smem, msgs_hbm, recv_hbm, cmax_ref, out_ref,
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0) + base
         cmax = cmax_ref[0:1, :]  # [1, C] per-channel global score max
 
+        cd = msgs_hbm.dtype  # dot operand dtype follows the message dtype:
+        # bf16 messages → single-pass bf16 MXU dots (f32 accumulation); f32
+        # messages → exact HIGHEST-precision dots.
+
         def body(k, carry):
             num, den = carry
             load(k)
-            onehot_t = (r_buf[:, :] == row_ids).astype(jnp.float32)  # [BN, CHUNK]
+            onehot_t = (r_buf[:, :] == row_ids).astype(cd)  # [BN, CHUNK]
             m = m_buf[:, :].astype(jnp.float32)
             e = jnp.exp(m * t - cmax)  # [CHUNK, C], ≤ 1
-            num = num + _dot(onehot_t, e * m)
-            den = den + _dot(onehot_t, e)
+            num = num + _dot(onehot_t, (e * m).astype(cd))
+            den = den + _dot(onehot_t, e.astype(cd))
             return num, den
 
         num = jnp.zeros((BN, c), jnp.float32)
