@@ -62,10 +62,9 @@ def export_part_seg_comparison(out_dir: str, points: np.ndarray,
         write_ply(os.path.join(out_dir, f"{name}_pred.ply"), points, labels=pred),
         write_ply(os.path.join(out_dir, f"{name}_gt.ply"), points, labels=label),
     ]
-    err = np.where(np.asarray(pred) == np.asarray(label),
-                   np.array([[180, 180, 180]], np.uint8),
-                   np.array([[255, 0, 0]], np.uint8) * np.ones((len(points), 1),
-                                                               np.uint8))
+    correct = (np.asarray(pred) == np.asarray(label))[:, None]
+    err = np.where(correct, np.array([[180, 180, 180]], np.uint8),
+                   np.array([[255, 0, 0]], np.uint8)).astype(np.uint8)
     paths.append(write_ply(os.path.join(out_dir, f"{name}_err.ply"), points,
                            colors=err))
     return paths

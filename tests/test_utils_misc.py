@@ -26,7 +26,7 @@ def test_miou_and_f1():
     acc = M.IoUAccumulator(3)
     acc.update(pred, lab)
     assert 0 < acc.miou() < 1
-    assert M.micro_f1(np.array([1.0, -1.0, 1.0]), np.array([1, 0, 0])) == 0.5
+    assert abs(M.micro_f1(np.array([1.0, -1.0, 1.0]), np.array([1, 0, 0])) - 2 / 3) < 1e-9
     assert M.hits_at_k(np.array([5.0, 0.1]), np.arange(100) / 100, 10) == 0.5
 
 
