@@ -48,36 +48,50 @@ def generate_sub_graphs(
     receivers = np.asarray(receivers, np.int64)
     num_nodes = parts.shape[0]
 
-    # global → local ids
-    local_id = np.zeros(num_nodes, np.int64)
-    node_lists = []
-    for c in range(cluster_number):
-        ids = np.flatnonzero(parts == c)
-        local_id[ids] = np.arange(ids.size)
-        node_lists.append(ids)
+    from .. import native
 
-    same = parts[senders] == parts[receivers]
-    if log_edge_loss:
-        lost = 1.0 - same.mean() if senders.size else 0.0
-        logging.getLogger("deep_gcns_torch_tpu").info(
-            "partition into %d clusters drops %.2f%% cross-cluster edges",
-            cluster_number, 100 * lost)
+    nat = native.partition_clusters(senders, receivers, parts, cluster_number)
+    if nat is not None:  # C++ path: single O(E) pass instead of k boolean scans
+        local_id, sizes, cl = nat
+        node_lists = [np.flatnonzero(parts == c) for c in range(cluster_number)]
+        cl_edges = [(ls, lr, ei) for (ls, lr, ei) in cl]
+        ecounts = [len(ls) for ls, _, _ in cl_edges]
+        kept = sum(ecounts)
+        if log_edge_loss and senders.size:
+            logging.getLogger("deep_gcns_torch_tpu").info(
+                "partition into %d clusters drops %.2f%% cross-cluster edges",
+                cluster_number, 100 * (1.0 - kept / senders.size))
+    else:
+        # numpy fallback
+        local_id = np.zeros(num_nodes, np.int64)
+        node_lists = []
+        for c in range(cluster_number):
+            ids = np.flatnonzero(parts == c)
+            local_id[ids] = np.arange(ids.size)
+            node_lists.append(ids)
+        same = parts[senders] == parts[receivers]
+        if log_edge_loss:
+            lost = 1.0 - same.mean() if senders.size else 0.0
+            logging.getLogger("deep_gcns_torch_tpu").info(
+                "partition into %d clusters drops %.2f%% cross-cluster edges",
+                cluster_number, 100 * lost)
+        cl_edges = []
+        ecounts = []
+        for c in range(cluster_number):
+            m = same & (parts[senders] == c)
+            cl_edges.append((local_id[senders[m]], local_id[receivers[m]],
+                             np.flatnonzero(m)))
+            ecounts.append(int(m.sum()))
 
     if node_pad is None:
         node_pad = ((max(len(l) for l in node_lists) + 255) // 256) * 256
-    ecounts = []
-    cl_edges = []
-    for c in range(cluster_number):
-        m = same & (parts[senders] == c)
-        cl_edges.append((local_id[senders[m]], local_id[receivers[m]], m))
-        ecounts.append(int(m.sum()))
     if edge_pad is None:
         edge_pad = ((max(ecounts) + 511) // 512) * 512
 
     graphs, feats_out = [], []
     for c in range(cluster_number):
-        ls, lr, m = cl_edges[c]
-        ea = edge_attr[m] if edge_attr is not None else None
+        ls, lr, ei = cl_edges[c]
+        ea = edge_attr[ei] if edge_attr is not None else None
         g = build_graph(None, ls, lr, edge_attr=ea,
                         num_nodes=len(node_lists[c]), node_pad=node_pad,
                         edge_pad=edge_pad)
