@@ -51,6 +51,7 @@ class RevGCNConfig:
     mlp_layers: int = 1
     dropout: float = 0.0
     use_one_hot_encoding: bool = True
+    compute_dtype: str = "float32"
 
 
 class RevGCN(Module):
@@ -63,7 +64,8 @@ class RevGCN(Module):
             cg, cg, aggr=c.aggr, t=c.t, learn_t=c.learn_t, p=c.p, learn_p=c.learn_p,
             y=c.y, learn_y=c.learn_y, msg_norm=c.msg_norm,
             learn_msg_scale=c.learn_msg_scale, encode_edge=c.conv_encode_edge,
-            edge_feat_dim=c.hidden_channels, norm=c.norm, mlp_layers=c.mlp_layers)
+            edge_feat_dim=c.hidden_channels, norm=c.norm, mlp_layers=c.mlp_layers,
+            compute_dtype=c.compute_dtype)
         self._coupling = GroupAdditiveCoupling(self._fm, group=c.group)
         enc_in = c.node_feat_dim + (c.in_channels if c.use_one_hot_encoding else 0)
         self._one_hot = Linear(c.in_channels, c.in_channels) if c.use_one_hot_encoding else None

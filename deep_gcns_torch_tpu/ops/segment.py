@@ -159,6 +159,7 @@ def generalized_aggregate(
     if use_pallas is True or (use_pallas == "auto"
                               and _pallas_ok(aggr, row_ptr, msgs, num_segments)):
         from . import spmm_pallas as sp
+
         if aggr in ("add", "sum"):
             return sp.segment_sum_csr(msgs, receivers, row_ptr)
         if aggr == "mean":

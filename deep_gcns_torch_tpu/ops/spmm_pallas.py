@@ -116,7 +116,16 @@ def segment_sum_csr(msgs: Array, receivers: Array, row_ptr: Array,
     return _segment_sum_impl(msgs, receivers, row_ptr, interpret)
 
 
+def _pad_lanes(msgs):
+    """Mosaic DMA requires 128-aligned channel dims; zero lanes are exact no-ops
+    for the sums/softmax numerators these kernels compute."""
+    c = msgs.shape[1]
+    pad = (-c) % 128
+    return (jnp.pad(msgs, ((0, 0), (0, pad))) if pad else msgs), c
+
+
 def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
+    msgs, c_orig = _pad_lanes(msgs)
     e_pad, c = msgs.shape
     n_pad = row_ptr.shape[0] - 1
     assert e_pad % CHUNK == 0 and n_pad % BN == 0, (e_pad, n_pad)
@@ -136,7 +145,7 @@ def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
         interpret=interpret,
-    )(row_ptr, msgs, recv_row)
+    )(row_ptr, msgs, recv_row)[:, :c_orig]
 
 
 def _segment_sum_fwd(msgs, receivers, row_ptr, interpret):
@@ -200,6 +209,7 @@ def _softmax_agg_kernel(row_ptr, t_smem, msgs_hbm, recv_hbm, cmax_ref, out_ref,
 
 
 def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
+    msgs, c_orig = _pad_lanes(msgs)
     e_pad, c = msgs.shape
     n_pad = row_ptr.shape[0] - 1
     assert e_pad % CHUNK == 0 and n_pad % BN == 0, (e_pad, n_pad)
@@ -234,7 +244,7 @@ def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
         ),
         interpret=interpret,
     )(row_ptr, t_arr, msgs, recv_row, cmax8)
-    return out, den, cmax
+    return out[:, :c_orig], den[:, :c_orig], cmax[:c_orig]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -40,6 +40,7 @@ class GENBlock(Module):
     edge_feat_dim: int = 0
     norm: str = "layer"
     mlp_layers: int = 1
+    compute_dtype: str = "float32"
 
     def _gcn(self) -> GENConv:
         return GENConv(self.in_dim, self.out_dim, aggr=self.aggr, t=self.t,
@@ -48,7 +49,8 @@ class GENBlock(Module):
                        learn_msg_scale=self.learn_msg_scale,
                        encode_edge=self.encode_edge,
                        edge_feat_dim=self.edge_feat_dim or None,
-                       norm=self.norm, mlp_layers=self.mlp_layers)
+                       norm=self.norm, mlp_layers=self.mlp_layers,
+                       compute_dtype=self.compute_dtype)
 
     def init(self, key):
         k0, k1 = jax.random.split(key)

@@ -1,0 +1,99 @@
+"""Edges/s scaling harness for spatial (edge-partitioned) parallelism.
+
+Measures the BASELINE.json scaling metric: aggregated edge-messages/s of a
+DeeperGCN train step at 1 device vs N devices on the available mesh, and reports
+the scaling efficiency. On this environment only one real chip exists, so the
+multi-device rows run on a virtual CPU mesh (functional validation + a real-mesh
+recipe); on a v5e-16 slice the same script measures the true host→pod efficiency.
+
+Run: python scripts/scaling_bench.py [--devices 8] [--platform cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=0, help="0 = all available")
+    ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--nodes", type=int, default=16384)
+    ap.add_argument("--avg_degree", type=int, default=30)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=14)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.devices:
+            os.environ.setdefault(
+                "XLA_FLAGS", f"--xla_force_host_platform_device_count={args.devices}")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deep_gcns_torch_tpu.models.deeper_gcn import DeeperGCNConfig
+    from deep_gcns_torch_tpu.parallel import (SpatialDeeperGCN, make_mesh,
+                                              shard_graph, shard_nodes,
+                                              spatial_train_step)
+
+    n_avail = len(jax.devices())
+    n_max = args.devices or n_avail
+    rng = np.random.default_rng(0)
+    n, e = args.nodes, args.nodes * args.avg_degree
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    x_np = rng.standard_normal((n, args.hidden)).astype(np.float32)
+    lab_np = rng.integers(0, 16, n)
+
+    cfg = DeeperGCNConfig(in_channels=args.hidden, hidden_channels=args.hidden,
+                          num_tasks=16, num_layers=args.layers, block="res+",
+                          aggr="softmax", norm="layer", dropout=0.0)
+
+    def sum_loss(logits, lab, m):
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, lab[:, None], 1)[:, 0]
+        m = m.astype(nll.dtype)
+        return jnp.sum(nll * m), jnp.sum(m)
+
+    results = {}
+    sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_max]
+    for d in sizes:
+        model = SpatialDeeperGCN(cfg, axis="gp")
+        params, state = model.init(jax.random.PRNGKey(0))
+        shards = shard_graph(senders, receivers, n, d)
+        xs = jnp.asarray(shard_nodes(x_np, shards))
+        lab = jnp.asarray(shard_nodes(lab_np[:, None].astype(np.int32),
+                                      shards)[..., 0])
+        msk = jnp.asarray(np.asarray(shards.node_mask))
+        mesh = make_mesh(("gp",), devices=jax.devices()[:d])
+        tx = optax.adam(1e-3)
+        step = spatial_train_step(model, tx, sum_loss, mesh, axis="gp")
+        opt = tx.init(params)
+        sh_dev = jax.device_put(shards)
+        params, state, opt, loss = step(params, state, opt, xs, sh_dev, lab, msk,
+                                        jax.random.PRNGKey(1))
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for i in range(args.iters):
+            params, state, opt, loss = step(params, state, opt, xs, sh_dev, lab,
+                                            msk, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / args.iters
+        rate = e * args.layers / dt
+        results[d] = rate
+        eff = rate / (results[1] * d) if 1 in results and d > 1 else 1.0
+        print(f"devices={d:2d}  step={dt * 1000:7.1f} ms  "
+              f"rate={rate / 1e6:8.2f} M edge-msg/s  efficiency={eff:5.1%}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
