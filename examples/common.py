@@ -54,6 +54,9 @@ def add_deeper_gcn_flags(p: argparse.ArgumentParser, *, num_layers=28,
     p.add_argument("--learn_y", action="store_true")
     p.add_argument("--msg_norm", action="store_true")
     p.add_argument("--learn_msg_scale", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 halves HBM traffic on the conv hot path")
     return p
 
 

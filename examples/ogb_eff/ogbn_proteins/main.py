@@ -43,7 +43,8 @@ def build_model(args, data):
         y=args.y, learn_y=args.learn_y, msg_norm=args.msg_norm,
         learn_msg_scale=args.learn_msg_scale, conv_encode_edge=args.conv_encode_edge,
         norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
-        use_one_hot_encoding=args.use_one_hot_encoding))
+        use_one_hot_encoding=args.use_one_hot_encoding,
+        compute_dtype=args.compute_dtype))
 
 
 if __name__ == "__main__":

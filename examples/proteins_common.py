@@ -78,7 +78,9 @@ def run_proteins(args, model_builder, name: str):
     opt_state = tx.init(params)
 
     # fixed padded bucket across clusters/epochs → one compiled program
-    node_pad = ((n // args.cluster_number + 1023) // 256 + 1) * 256
+    # (sized for the COARSEST partition used: eval may use fewer, larger clusters)
+    min_parts = min(args.cluster_number, args.eval_parts)
+    node_pad = ((n // min_parts + 1023) // 256 + 1) * 256
     edge_pad = None  # computed on first partition, then reused
 
     @jax.jit
