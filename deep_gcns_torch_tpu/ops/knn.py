@@ -38,14 +38,39 @@ def pairwise_distance(x: Array) -> Array:
     return sq + inner + jnp.swapaxes(sq, -1, -2)
 
 
-def knn_dense(x: Array, k: int) -> Array:
+def knn_dense(x: Array, k: int, row_block: int = 1024) -> Array:
     """Indices of the k nearest neighbors per point (self included).
 
     x: [B, N, C] → idx [B, N, k] (neighbor ids, ascending distance).
+
+    For N > row_block the distance matrix is computed in row blocks
+    ([row_block, N] at a time, `lax.map` over blocks) so the full B×N×N matrix is
+    never materialized — the streaming formulation of SURVEY §7 item 3 (the
+    reference materializes N×N per layer, `gcn_lib/dense/torch_edge.py:32-58`).
     """
-    neg = -pairwise_distance(jax.lax.stop_gradient(x))
-    _, idx = jax.lax.top_k(neg, k)
-    return idx
+    x = jax.lax.stop_gradient(x).astype(jnp.float32)
+    b, n, c = x.shape
+    if n <= row_block:
+        _, idx = jax.lax.top_k(-pairwise_distance(x), k)
+        return idx
+
+    nb = -(-n // row_block)
+    pad = nb * row_block - n
+    xq = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    xq = xq.reshape(b, nb, row_block, c).transpose(1, 0, 2, 3)  # [nb, B, RB, C]
+    sq_all = jnp.sum(x * x, axis=-1)  # [B, N]
+
+    def block(xb):
+        # xb: [B, RB, C] — distances to ALL points, top-k per row
+        inner = -2.0 * jnp.einsum("brc,bnc->brn", xb, x,
+                                  preferred_element_type=jnp.float32)
+        d = inner + jnp.sum(xb * xb, -1)[..., None] + sq_all[:, None, :]
+        _, idx = jax.lax.top_k(-d, k)
+        return idx  # [B, RB, k]
+
+    idx = jax.lax.map(block, xq)  # [nb, B, RB, k]
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, nb * row_block, k)
+    return idx[:, :n]
 
 
 def _dilate_ranks(idx: Array, k: int, d: int, *, stochastic: bool, epsilon: float,

@@ -60,3 +60,15 @@ def test_flat_knn_batch_offsets(rng_np):
     # receivers center-major sorted; edges stay within their graph
     assert np.all(np.diff(r) >= 0)
     assert np.all((s < 16) == (r < 16))
+
+
+def test_blocked_knn_matches_direct(rng_np):
+    """Streaming (row-blocked) kNN == direct N×N path."""
+    import jax.numpy as jnp
+    x = rng_np.standard_normal((2, 300, 3)).astype(np.float32)
+    direct = np.asarray(K.knn_dense(jnp.asarray(x), 6, row_block=1024))
+    blocked = np.asarray(K.knn_dense(jnp.asarray(x), 6, row_block=128))
+    d = ((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.sort(np.take_along_axis(d, direct, -1), -1),
+        np.sort(np.take_along_axis(d, blocked, -1), -1), atol=1e-3)
