@@ -23,8 +23,10 @@ from ..nn.core import (
     MLP, Linear, Module, MultiEmbedding, activation, dropout, make_norm,
 )
 from ..ops.segment import (
-    generalized_aggregate, scatter, segment_degree, segment_softmax, segment_sum,
+    fused_gather_ok, generalized_aggregate, scatter, segment_degree,
+    segment_softmax, segment_sum,
 )
+from ..ops.spmm_pallas import fused_softmax_gather_agg
 from ..ops.gather import gather_src_auto
 from ..ops.knn import dilated_knn_graph_flat
 from ..graph import build_graph  # noqa: F401  (re-export convenience)
@@ -135,14 +137,10 @@ class GENConv(Module):
                 edge_emb = ea
 
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else x.dtype
-        msg = gather_src_auto(x.astype(cd), g)
-        if edge_emb is not None:
-            msg = msg + edge_emb.astype(cd)
-        msg = jax.nn.relu(msg) + jnp.asarray(self.eps, cd)  # (`torch_vertex.py:78-85`)
 
         t = params.get("t", self.t)
-        if isinstance(t, jax.Array) and not (
-                self.learn_t and self.aggr in ("softmax", "softmax_sum")):
+        grad_w = self.learn_t and self.aggr in ("softmax", "softmax_sum")
+        if isinstance(t, jax.Array) and not grad_w:
             t = jax.lax.stop_gradient(t)
         p = params.get("p", self.p)
         if isinstance(p, jax.Array) and not self.learn_p:
@@ -151,9 +149,26 @@ class GENConv(Module):
         if isinstance(y, jax.Array) and not self.learn_y:
             y = jax.lax.stop_gradient(y)
 
-        m = generalized_aggregate(
-            msg, g.receivers, n, aggr=self.aggr, t=t, p=p, y=y,
-            learn_t=self.learn_t, mask=g.edge_mask, row_ptr=g.row_ptr)
+        if edge_emb is None and fused_gather_ok(g, x.shape[1], self.aggr):
+            # single-gather fused path: relu+ε message, stabilized exp, and both
+            # one-hot dots happen inside one kernel pass; the backward is the CSC
+            # kernel (no edge-cotangent permute, O(N) residuals).
+            m = fused_softmax_gather_agg(
+                x.astype(cd), g.senders, g.receivers, g.row_ptr, g.csc_senders,
+                g.csc_receivers, g.csc_col_ptr, jnp.asarray(t, jnp.float32),
+                self.eps, grad_w)
+            if self.aggr == "softmax_sum":
+                deg = segment_degree(g.receivers, n, g.edge_mask, dtype=jnp.float32)
+                m = (jnp.power(deg, jax.nn.sigmoid(y))[:, None]).astype(m.dtype) * m
+        else:
+            msg = gather_src_auto(x.astype(cd), g)
+            if edge_emb is not None:
+                msg = msg + edge_emb.astype(cd)
+            # (`torch_vertex.py:78-85`)
+            msg = jax.nn.relu(msg) + jnp.asarray(self.eps, cd)
+            m = generalized_aggregate(
+                msg, g.receivers, n, aggr=self.aggr, t=t, p=p, y=y,
+                learn_t=self.learn_t, mask=g.edge_mask, row_ptr=g.row_ptr)
 
         m = m.astype(x.dtype)
         if self.msg_norm:

@@ -64,6 +64,9 @@ class Graph:
     csc_perm: Optional[Array] = None
     csc_senders: Optional[Array] = None
     csc_col_ptr: Optional[Array] = None
+    # receivers re-sorted by sender (receivers[csc_perm], sentinel-padded) — lets the
+    # fused aggregation backward gather node-space cotangents directly in CSC order.
+    csc_receivers: Optional[Array] = None
     # Static number of graphs in the batch (needed as static segment count for pooling).
     num_graphs: int = dataclasses.field(default=1, metadata=dict(static=True))
 
@@ -172,7 +175,7 @@ def build_graph(
             np.cumsum(counts, out=rp[1:][: n_pad])  # type: ignore[call-overload]
             rp = rp.astype(np.int32)
 
-    csc_perm = csc_senders = csc_col_ptr = None
+    csc_perm = csc_senders = csc_col_ptr = csc_receivers = None
     if with_csc and n_edge > 0:
         from . import native
 
@@ -193,6 +196,8 @@ def build_graph(
         csc_col_ptr = np.empty((n_pad + 1,), np.int32)
         csc_col_ptr[: n_node + 1] = cp
         csc_col_ptr[n_node + 1:] = cp[-1]
+        csc_receivers = np.full((e_pad,), sentinel, np.int32)
+        csc_receivers[:n_edge] = receivers[order]
 
     return Graph(
         x=None if x is None else pad_rows(np.asarray(x), n_pad),
@@ -208,6 +213,7 @@ def build_graph(
         csc_perm=csc_perm,
         csc_senders=csc_senders,
         csc_col_ptr=csc_col_ptr,
+        csc_receivers=csc_receivers,
         num_graphs=num_graphs,
     )
 

@@ -131,6 +131,24 @@ def _pallas_ok(aggr: str, row_ptr, msgs, num_segments: int) -> bool:
         return False
 
 
+def fused_gather_ok(g, c: int, aggr: str) -> bool:
+    """Route GENConv's gather+message+softmax-aggregate to the fully fused Pallas
+    pair (CSR forward / CSC backward) when legal: TPU, softmax family, CSR+CSC aux
+    present, lane-aligned channels, tile-aligned padding."""
+    if aggr not in ("softmax", "softmax_sg", "softmax_sum"):
+        return False
+    if g.row_ptr is None or g.csc_col_ptr is None or g.csc_receivers is None:
+        return False
+    from . import spmm_pallas as sp
+    if (c % 128 or g.num_edges_padded % sp.CHUNK
+            or g.num_nodes_padded % sp.BN):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def generalized_aggregate(
     msgs: Array,
     receivers: Array,

@@ -13,17 +13,34 @@ Edges outside the block (tile overlap at block boundaries, padding sentinel) sim
 produce no one-hot match — no masking or atomics needed; the sequential TPU grid
 makes accumulation race-free.
 
+Pipelining: all kernels share a streamed-edge skeleton.  The edge stream is a single
+global sequence of CHUNK tiles; VMEM holds ``NBUF`` tile slots (persistent scratch —
+it survives across grid steps) and SMEM tracks two global cursors, ``next_fetch`` and
+``waited_upto``, so each tile is DMA'd exactly once, prefetched ``LOOKAHEAD`` tiles
+ahead of consumption, and reused without re-fetch when a tile straddles two node
+blocks.  This keeps the DMA engine busy while the MXU computes — the naive
+start→wait→compute loop is latency-bound ~5x slower.
+
 Kernels:
   * segment_sum_csr — sum (mean via degree outside); custom VJP (bwd = gather).
   * gen_softmax_aggregate_csr — GENConv's generalized softmax aggregation
     Σ_e softmax_e(t·m)·m fused into ONE pass over the edges, with custom VJP
     covering d/dm and d/dt (`gcn_lib/sparse/torch_message.py:49-65` semantics incl.
     the reference's stop-gradient-on-weights behavior).
+  * fused_softmax_gather_agg — the full GENConv aggregation *including* the message
+    function (m = relu(x_j) + ε, `gcn_lib/sparse/torch_vertex.py:78-85`) fused at the
+    node-feature level.  Forward: one XLA gather x[senders] + one kernel pass that
+    applies relu+ε, the stabilized exp, and both numerator/denominator one-hot dots.
+    Backward never materializes or permutes edge cotangents: q = g/den is computed in
+    node space, gathered once by csc_receivers, and a CSC-major kernel reconstructs
+    x_j from *contiguous* sender blocks via the transposed one-hot expansion — so the
+    only random-access op in the whole VJP is a single node-table gather.  Residuals
+    are node-sized (den, cmax), not edge-sized — O(N) memory per layer.
 
 Stability: softmax per (node, channel) is invariant to subtracting any per-node
-constant. We subtract the per-channel GLOBAL score max (one cheap XLA reduction),
+constant. We subtract a per-channel GLOBAL score upper bound (one cheap reduction),
 so exp ≤ 1 everywhere and the kernel needs no per-node max pass. This is exact
-unless a node's max score lags the global max by > ~85 (f32 exp underflow) — with
+unless a node's max score lags the global bound by > ~85 (f32 exp underflow) — with
 GENConv messages (relu+ε, t ∈ [0.01, 10]) that margin is far beyond anything
 reachable; the XLA reference path remains available for adversarial inputs.
 """
@@ -39,8 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-BN = 128      # node rows per block
-CHUNK = 512   # edges per tile
+BN = 128        # node rows per block
+CHUNK = 512     # edges per tile
+NBUF = 6        # VMEM tile slots (persistent across grid steps)
+LOOKAHEAD = 4   # tiles prefetched ahead of consumption (< NBUF - 1)
 
 
 def _dot(a, b):
@@ -55,65 +74,14 @@ def _dot(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _block_bounds(row_ptr, i, n_pad):
-    base = i * BN
-    start = row_ptr[base]
-    end = row_ptr[jnp.minimum(base + BN, n_pad)]
-    chunk0 = start // CHUNK
-    nchunks = jnp.where(end > start, (end - chunk0 * CHUNK + CHUNK - 1) // CHUNK, 0)
-    return base, chunk0, nchunks
-
-
-def _make_loader(msgs_hbm, recv_hbm, m_buf, r_buf, sem_m, sem_r, chunk0):
-    """DMA one edge tile: messages [CHUNK, C] and receivers as a [1, CHUNK] row."""
-
-    def load(k):
-        off = (chunk0 + k) * CHUNK
-        cp_m = pltpu.make_async_copy(msgs_hbm.at[pl.ds(off, CHUNK), :], m_buf, sem_m)
-        cp_r = pltpu.make_async_copy(recv_hbm.at[:, pl.ds(off, CHUNK)], r_buf, sem_r)
-        cp_m.start()
-        cp_r.start()
-        cp_m.wait()
-        cp_r.wait()
-
-    return load
-
-
-# ---------------------------------------------------------------------------
-# segment sum
-# ---------------------------------------------------------------------------
-
-def _seg_sum_kernel(row_ptr, msgs_hbm, recv_hbm, out_ref, *, n_pad, c):
-    i = pl.program_id(0)
-    base, chunk0, nchunks = _block_bounds(row_ptr, i, n_pad)
-
-    def scoped(m_buf, r_buf, sem_m, sem_r):
-        load = _make_loader(msgs_hbm, recv_hbm, m_buf, r_buf, sem_m, sem_r, chunk0)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0) + base
-
-        def body(k, acc):
-            load(k)
-            onehot_t = (r_buf[:, :] == row_ids).astype(m_buf.dtype)  # [BN, CHUNK]
-            return acc + _dot(onehot_t, m_buf[:, :])
-
-        acc = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((BN, c), jnp.float32))
-        out_ref[:, :] = acc.astype(out_ref.dtype)
-
-    pl.run_scoped(
-        scoped,
-        pltpu.VMEM((CHUNK, c), msgs_hbm.dtype),
-        pltpu.VMEM((1, CHUNK), jnp.int32),
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.SemaphoreType.DMA(()),
-    )
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def segment_sum_csr(msgs: Array, receivers: Array, row_ptr: Array,
-                    interpret: bool = False) -> Array:
-    """Sum msgs [E_pad, C] into [N_pad, C]. receivers sorted (sentinel-padded),
-    row_ptr [N_pad+1]; E_pad % CHUNK == 0, N_pad % BN == 0."""
-    return _segment_sum_impl(msgs, receivers, row_ptr, interpret)
+def _dot_t(a, b):
+    """aᵀ @ b for a [BN, CHUNK], b [BN, C] → [CHUNK, C] (contract dim 0)."""
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)
 
 
 def _pad_lanes(msgs):
@@ -122,6 +90,132 @@ def _pad_lanes(msgs):
     c = msgs.shape[1]
     pad = (-c) % 128
     return (jnp.pad(msgs, ((0, 0), (0, pad))) if pad else msgs), c
+
+
+# ---------------------------------------------------------------------------
+# streamed-edge skeleton
+# ---------------------------------------------------------------------------
+
+def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
+                        smem, sems, init_carry, *, n_pad):
+    """Shared pipelined skeleton: iterate this block's chunk range over the global
+    edge-tile stream, prefetching LOOKAHEAD ahead and reusing straddling tiles.
+
+    compute_chunk(slot, base, carry) -> carry consumes one resident tile.
+    Returns the final carry for this block.
+    """
+    i = pl.program_id(0)
+    base = i * BN
+    start = row_ptr[base]
+    end = row_ptr[jnp.minimum(base + BN, n_pad)]
+    e_total = row_ptr[n_pad]
+    last = jnp.maximum((e_total - 1) // CHUNK, 0)
+
+    # ids arrays are [1, E_pad] rows; data arrays are [E_pad, C]
+    _ids_flags = [r.shape[0] == 1 for r in edge_hbm_refs]
+
+    def _issue(k):
+        slot = k % NBUF
+        off = k * CHUNK
+        for ref, buf, sem, is_ids in zip(edge_hbm_refs, scratch_bufs, sems,
+                                         _ids_flags):
+            if is_ids:
+                pltpu.make_async_copy(ref.at[:, pl.ds(off, CHUNK)], buf.at[slot],
+                                      sem.at[slot]).start()
+            else:
+                pltpu.make_async_copy(ref.at[pl.ds(off, CHUNK), :], buf.at[slot],
+                                      sem.at[slot]).start()
+
+    def _wait(k):
+        slot = k % NBUF
+        off = k * CHUNK
+        for ref, buf, sem, is_ids in zip(edge_hbm_refs, scratch_bufs, sems,
+                                         _ids_flags):
+            if is_ids:
+                pltpu.make_async_copy(ref.at[:, pl.ds(off, CHUNK)], buf.at[slot],
+                                      sem.at[slot]).wait()
+            else:
+                pltpu.make_async_copy(ref.at[pl.ds(off, CHUNK), :], buf.at[slot],
+                                      sem.at[slot]).wait()
+
+    @pl.when(i == 0)
+    def _():
+        smem[0] = 0  # next_fetch
+        smem[1] = 0  # waited_upto
+
+        @pl.when(e_total > 0)
+        def _():
+            def warm(j, _):
+                @pl.when(j <= last)
+                def _():
+                    _issue(j)
+                    smem[0] = j + 1
+                return 0
+
+            jax.lax.fori_loop(0, LOOKAHEAD + 1, warm, 0)
+
+    c0 = start // CHUNK
+    nchunks = jnp.where(end > start, ((end - 1) // CHUNK) - c0 + 1, 0)
+
+    def body(j, carry):
+        k = c0 + j
+        # guarded prefetch (consumption cursor advances ≤1/step, 2 attempts keep
+        # the invariant next_fetch ≥ min(k + LOOKAHEAD, last) + 1)
+        for _ in range(2):
+            nf = smem[0]
+
+            @pl.when((nf <= k + LOOKAHEAD) & (nf <= last))
+            def _():
+                _issue(nf)
+                smem[0] = nf + 1
+
+        wu = smem[1]
+
+        @pl.when(k >= wu)
+        def _():
+            _wait(k)
+            smem[1] = k + 1
+
+        return compute_chunk(k % NBUF, base, carry)
+
+    return jax.lax.fori_loop(0, nchunks, body, init_carry)
+
+
+def _row_ids(base):
+    return jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0) + base
+
+
+def _stream_scratch(c, dtypes):
+    """Scratch shapes for the skeleton: one [NBUF, CHUNK, c] buffer per edge-data
+    array, one [NBUF, 1, CHUNK] id buffer, SMEM cursors, DMA semaphores."""
+    bufs = [pltpu.VMEM((NBUF, CHUNK, c), dt) for dt in dtypes]
+    bufs.append(pltpu.VMEM((NBUF, 1, CHUNK), jnp.int32))
+    sems = [pltpu.SemaphoreType.DMA((NBUF,)) for _ in range(len(dtypes) + 1)]
+    return bufs + [pltpu.SMEM((2,), jnp.int32)] + sems
+
+
+# ---------------------------------------------------------------------------
+# segment sum
+# ---------------------------------------------------------------------------
+
+def _seg_sum_kernel(row_ptr, msgs_hbm, recv_hbm, out_ref,
+                    m_buf, r_buf, smem, sem_m, sem_r, *, n_pad, c):
+    def compute(slot, base, acc):
+        onehot_t = (r_buf[slot] == _row_ids(base)).astype(m_buf.dtype)
+        return acc + _dot(onehot_t, m_buf[slot])
+
+    acc = _edge_stream_kernel(compute, row_ptr, [msgs_hbm, recv_hbm],
+                              [m_buf, r_buf], smem, [sem_m, sem_r],
+                              jnp.zeros((BN, c), jnp.float32), n_pad=n_pad)
+    out_ref[:, :] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def segment_sum_csr(msgs: Array, receivers: Array, row_ptr: Array,
+                    interpret: bool = False) -> Array:
+    """Sum msgs [E_pad, C] into [N_pad, C]. receivers sorted (sentinel-padded),
+    row_ptr [N_pad+1]; E_pad % CHUNK == 0, N_pad % BN == 0."""
+    return _segment_sum_impl(msgs, receivers, row_ptr, interpret)
 
 
 def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
@@ -142,6 +236,7 @@ def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
             ],
             out_specs=pl.BlockSpec((BN, c), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=_stream_scratch(c, [msgs.dtype]),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
         interpret=interpret,
@@ -164,66 +259,45 @@ segment_sum_csr.defvjp(_segment_sum_fwd, _segment_sum_bwd)
 
 
 # ---------------------------------------------------------------------------
-# fused generalized softmax aggregation (GENConv hot loop)
+# fused generalized softmax aggregation over materialized messages
 # ---------------------------------------------------------------------------
 
 def _softmax_agg_kernel(row_ptr, t_smem, msgs_hbm, recv_hbm, cmax_ref, out_ref,
-                        den_ref, *, n_pad, c):
-    i = pl.program_id(0)
-    base, chunk0, nchunks = _block_bounds(row_ptr, i, n_pad)
+                        den_ref, m_buf, r_buf, smem, sem_m, sem_r, *, n_pad, c,
+                        relu_eps):
     t = t_smem[0]
+    cmax = cmax_ref[0:1, :]
+    cd = msgs_hbm.dtype
 
-    def scoped(m_buf, r_buf, sem_m, sem_r):
-        load = _make_loader(msgs_hbm, recv_hbm, m_buf, r_buf, sem_m, sem_r, chunk0)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0) + base
-        cmax = cmax_ref[0:1, :]  # [1, C] per-channel global score max
+    def compute(slot, base, carry):
+        num, den = carry
+        onehot_t = (r_buf[slot] == _row_ids(base)).astype(cd)
+        m = m_buf[slot].astype(jnp.float32)
+        if relu_eps is not None:
+            m = jax.nn.relu(m) + relu_eps
+        e = jnp.exp(m * t - cmax)  # ≤ 1
+        rhs = jnp.concatenate([e * m, e], axis=1).astype(cd)  # [CHUNK, 2C]
+        acc = _dot(onehot_t, rhs)
+        return num + acc[:, :c], den + acc[:, c:]
 
-        cd = msgs_hbm.dtype  # dot operand dtype follows the message dtype:
-        # bf16 messages → single-pass bf16 MXU dots (f32 accumulation); f32
-        # messages → exact HIGHEST-precision dots.
-
-        def body(k, carry):
-            num, den = carry
-            load(k)
-            onehot_t = (r_buf[:, :] == row_ids).astype(cd)  # [BN, CHUNK]
-            m = m_buf[:, :].astype(jnp.float32)
-            e = jnp.exp(m * t - cmax)  # [CHUNK, C], ≤ 1
-            num = num + _dot(onehot_t, (e * m).astype(cd))
-            den = den + _dot(onehot_t, e.astype(cd))
-            return num, den
-
-        num = jnp.zeros((BN, c), jnp.float32)
-        den = jnp.zeros((BN, c), jnp.float32)
-        num, den = jax.lax.fori_loop(0, nchunks, body, (num, den))
-        out_ref[:, :] = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
-                                  0.0).astype(out_ref.dtype)
-        den_ref[:, :] = den.astype(den_ref.dtype)
-
-    pl.run_scoped(
-        scoped,
-        pltpu.VMEM((CHUNK, c), msgs_hbm.dtype),
-        pltpu.VMEM((1, CHUNK), jnp.int32),
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.SemaphoreType.DMA(()),
-    )
+    num = jnp.zeros((BN, c), jnp.float32)
+    den = jnp.zeros((BN, c), jnp.float32)
+    num, den = _edge_stream_kernel(
+        compute, row_ptr, [msgs_hbm, recv_hbm], [m_buf, r_buf], smem,
+        [sem_m, sem_r], (num, den), n_pad=n_pad)
+    out_ref[:, :] = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                              0.0).astype(out_ref.dtype)
+    den_ref[:, :] = den.astype(den_ref.dtype)
 
 
-def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
-    msgs, c_orig = _pad_lanes(msgs)
+def _softmax_agg_pallas(msgs, recv_row, row_ptr, t_arr, cmax8, interpret,
+                        relu_eps=None):
     e_pad, c = msgs.shape
     n_pad = row_ptr.shape[0] - 1
     assert e_pad % CHUNK == 0 and n_pad % BN == 0, (e_pad, n_pad)
-    recv_row = receivers.reshape(1, e_pad)
-    t_arr = jnp.asarray(t, jnp.float32).reshape(1)
-    # per-channel global score max (one cheap XLA reduction; padding excluded)
-    valid = (receivers < n_pad)[:, None]
-    scores = jnp.where(valid, msgs.astype(jnp.float32) * t_arr[0], -jnp.inf)
-    cmax = jnp.max(scores, axis=0)
-    cmax = jnp.where(jnp.isfinite(cmax), cmax, 0.0)
-    cmax = jax.lax.stop_gradient(cmax)
-    cmax8 = jnp.broadcast_to(cmax[None, :], (8, c))
-    kernel = functools.partial(_softmax_agg_kernel, n_pad=n_pad, c=c)
-    out, den = pl.pallas_call(
+    kernel = functools.partial(_softmax_agg_kernel, n_pad=n_pad, c=c,
+                               relu_eps=relu_eps)
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # row_ptr, t
@@ -237,6 +311,7 @@ def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
                 pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             ),
+            scratch_shapes=_stream_scratch(c, [msgs.dtype]),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
@@ -244,6 +319,22 @@ def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
         ),
         interpret=interpret,
     )(row_ptr, t_arr, msgs, recv_row, cmax8)
+
+
+def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
+    msgs, c_orig = _pad_lanes(msgs)
+    e_pad, c = msgs.shape
+    n_pad = row_ptr.shape[0] - 1
+    recv_row = receivers.reshape(1, e_pad)
+    t_arr = jnp.asarray(t, jnp.float32).reshape(1)
+    # per-channel global score max (one cheap XLA reduction; padding excluded)
+    valid = (receivers < n_pad)[:, None]
+    scores = jnp.where(valid, msgs.astype(jnp.float32) * t_arr[0], -jnp.inf)
+    cmax = jnp.max(scores, axis=0)
+    cmax = jnp.where(jnp.isfinite(cmax), cmax, 0.0)
+    cmax = jax.lax.stop_gradient(cmax)
+    cmax8 = jnp.broadcast_to(cmax[None, :], (8, c))
+    out, den = _softmax_agg_pallas(msgs, recv_row, row_ptr, t_arr, cmax8, interpret)
     return out[:, :c_orig], den[:, :c_orig], cmax[:c_orig]
 
 
@@ -289,3 +380,167 @@ def _softmax_bwd(grad_weights, interpret, res, g):
 
 
 gen_softmax_aggregate_csr.defvjp(_softmax_fwd, _softmax_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fully fused gather + message (relu+ε) + softmax aggregation at the x level
+# ---------------------------------------------------------------------------
+
+def _softmax_bwd_csc_kernel(col_ptr, t_smem, qg_hbm, send_hbm, x_ref, cmax_ref,
+                            dx_ref, dt_ref, q_buf, s_buf, smem, sem_q, sem_s,
+                            *, n_pad, c, eps, grad_weights):
+    """CSC-major backward: grid over SENDER blocks; x rows arrive as a contiguous
+    VMEM block; per-edge x_j is reconstructed with the transposed one-hot dot.
+
+    qg: q[csc_receivers] (and, when grad_weights, also out[csc_receivers] in the
+    second half of the channel axis), streamed in CSC edge order.
+    """
+    t = t_smem[0]
+    cmax = cmax_ref[0:1, :]
+    cd = qg_hbm.dtype
+    x_blk = x_ref[:, :]  # [BN, C] this sender block's features (contiguous)
+
+    def compute(slot, base, carry):
+        dx, dt = carry
+        onehot_t = (s_buf[slot] == _row_ids(base)).astype(cd)  # [BN, CHUNK]
+        xj = _dot_t(onehot_t, x_blk)  # [CHUNK, C] f32 — zeros for foreign edges
+        m = jax.nn.relu(xj) + eps
+        e = jnp.exp(m * t - cmax)
+        q_all = q_buf[slot].astype(jnp.float32)
+        q = q_all[:, :c]
+        if grad_weights:
+            out_e = q_all[:, c:]
+            dm = q * e * (1.0 + t * (m - out_e))
+            # note: foreign/sentinel edges contribute garbage to dt unless masked —
+            # onehot match restricts to this block's own edges.
+            mine = jnp.sum(onehot_t.astype(jnp.float32), axis=0)[:, None]  # [CHUNK,1]
+            dt = dt + jnp.sum(mine * q * e * m * (m - out_e))
+        else:
+            dm = q * e
+        dxj = jnp.where(xj > 0, dm, 0.0)  # relu'
+        dx = dx + _dot(onehot_t, dxj.astype(cd))
+        return dx, dt
+
+    dx = jnp.zeros((BN, c), jnp.float32)
+    dt0 = jnp.zeros((), jnp.float32)
+    dx, dt = _edge_stream_kernel(
+        compute, col_ptr, [qg_hbm, send_hbm], [q_buf, s_buf], smem,
+        [sem_q, sem_s], (dx, dt0), n_pad=n_pad)
+    dx_ref[:, :] = dx.astype(dx_ref.dtype)
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+           + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+    dt_ref[:, :] = jnp.where(pos == 0, dt, 0.0)
+
+
+def _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr, cmax8, interpret,
+                      eps, grad_weights):
+    e_pad = qg.shape[0]
+    n_pad = csc_col_ptr.shape[0] - 1
+    c = x.shape[1]
+    assert e_pad % CHUNK == 0 and n_pad % BN == 0, (e_pad, n_pad)
+    send_row = csc_senders.reshape(1, e_pad)
+    kernel = functools.partial(_softmax_bwd_csc_kernel, n_pad=n_pad, c=c, eps=eps,
+                               grad_weights=grad_weights)
+    qdt = qg.dtype
+    dx, dtp = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # csc_col_ptr, t
+            grid=(n_pad // BN,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # qg [E, C or 2C]
+                pl.BlockSpec(memory_space=pl.ANY),   # csc sender ids [1, E]
+                pl.BlockSpec((BN, c), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),  # x block
+                pl.BlockSpec((8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=_stream_scratch(qg.shape[1], [qdt]),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((n_pad // BN * 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(csc_col_ptr, t_arr, qg, send_row, x, cmax8)
+    return dx, jnp.sum(dtp[::8, 0])
+
+
+def _fused_cmax(x, t_arr, eps, c):
+    """Per-channel upper bound on the softmax scores t·(relu(x_j)+ε), computed in
+    node space (padding rows are harmless: relu ≥ 0 and senders are valid rows).
+    Any constant ≥ max keeps exp ≤ 1; shift-invariance keeps the result exact."""
+    t0 = t_arr[0]
+    m_ub = jnp.max(jax.nn.relu(x.astype(jnp.float32)), axis=0) + eps
+    cmax = jnp.where(t0 > 0, t0 * m_ub, t0 * eps)
+    cmax = jax.lax.stop_gradient(cmax)
+    return cmax, jnp.broadcast_to(cmax[None, :], (8, c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_softmax_gather_agg(x: Array, senders: Array, receivers: Array,
+                             row_ptr: Array, csc_senders: Array,
+                             csc_receivers: Array, csc_col_ptr: Array, t: Array,
+                             eps: float = 1e-7, grad_weights: bool = False,
+                             interpret: bool = False) -> Array:
+    """GENConv aggregation fused at the node level (no edge-feature path):
+
+        out[n] = Σ_{e: recv=n} softmax_e(t·m_e) · m_e,   m_e = relu(x[send_e]) + ε
+
+    (`gcn_lib/sparse/torch_vertex.py:78-85` message + `torch_message.py:44-58`
+    softmax aggregation.)  x must be lane-aligned (C % 128 == 0); caller pads.
+    """
+    out, _, _ = _fused_fwd_call(x, senders, receivers, row_ptr, t, eps, interpret)
+    return out
+
+
+def _fused_fwd_call(x, senders, receivers, row_ptr, t, eps, interpret):
+    e_pad = receivers.shape[0]
+    n_pad = row_ptr.shape[0] - 1
+    c = x.shape[1]
+    assert c % 128 == 0, "fused path requires lane-aligned channels"
+    t_arr = jnp.asarray(t, jnp.float32).reshape(1)
+    cmax, cmax8 = _fused_cmax(x, t_arr, eps, c)
+    xj = jnp.take(x, jnp.minimum(senders, n_pad - 1), axis=0)
+    recv_row = receivers.reshape(1, e_pad)
+    out, den = _softmax_agg_pallas(xj, recv_row, row_ptr, t_arr, cmax8, interpret,
+                                   relu_eps=eps)
+    return out, den, cmax
+
+
+def _fused_fwd(x, senders, receivers, row_ptr, csc_senders, csc_receivers,
+               csc_col_ptr, t, eps, grad_weights, interpret):
+    out, den, cmax = _fused_fwd_call(x, senders, receivers, row_ptr, t, eps,
+                                     interpret)
+    return out, (x, csc_senders, csc_receivers, csc_col_ptr, t, out, den, cmax)
+
+
+def _fused_bwd(eps, grad_weights, interpret, res, g):
+    x, csc_senders, csc_receivers, csc_col_ptr, t, out, den, cmax = res
+    n_pad = den.shape[0]
+    c = x.shape[1]
+    t_arr = jnp.asarray(t, jnp.float32).reshape(1)
+    cmax8 = jnp.broadcast_to(cmax[None, :], (8, c))
+    # node-space cotangent-over-denominator; zero where a row had no (valid) edges
+    q = jnp.where(den > 0, g.astype(jnp.float32) / jnp.where(den > 0, den, 1.0), 0.0)
+    if grad_weights:
+        qo = jnp.concatenate([q, out.astype(jnp.float32)], axis=1)
+    else:
+        qo = q
+    qo = qo.astype(x.dtype)
+    r_safe = jnp.minimum(csc_receivers, n_pad - 1)
+    qg = jnp.take(qo, r_safe, axis=0)
+    # padding edges: sentinel senders match no one-hot row — no masking needed
+    dx, dt = _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr, cmax8,
+                               interpret, eps, grad_weights)
+    if not grad_weights:
+        dt = jnp.zeros((), jnp.float32)
+    dt = jnp.broadcast_to(dt, jnp.shape(t)).astype(jnp.float32)
+    return dx, None, None, None, None, None, None, dt
+
+
+fused_softmax_gather_agg.defvjp(_fused_fwd, _fused_bwd)

@@ -99,3 +99,71 @@ def test_softmax_aggregate_grads(rng_np, grad_weights):
     (gm2, gt2) = jax.grad(f_xla, argnums=(0, 1))(msgs, t0)
     np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm2), rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(float(gt1), float(gt2), rtol=5e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused gather + message + softmax aggregation (x-level op)
+# ---------------------------------------------------------------------------
+
+def _fused_setup(rng_np, n=400, e=2500, c=128, node_pad=512, edge_pad=3072):
+    x, s, r = random_graph(rng_np, n, e, c)
+    g = build_graph(x, s, r, node_pad=node_pad, edge_pad=edge_pad)
+    return g, jnp.asarray(np.asarray(g.x), jnp.float32)
+
+
+def _fused_xla_ref(x, g, t, eps=1e-7, learn_t=False, aggr="softmax"):
+    n_pad = g.num_nodes_padded
+    xj = jnp.take(x, jnp.minimum(jnp.asarray(g.senders), n_pad - 1), axis=0)
+    m = jax.nn.relu(xj) + eps
+    return seg.generalized_aggregate(m, jnp.asarray(g.receivers), n_pad, aggr=aggr,
+                                     t=t, learn_t=learn_t,
+                                     mask=jnp.asarray(g.edge_mask))
+
+
+@pytest.mark.parametrize("t", [0.1, 1.0])
+def test_fused_softmax_gather_agg_forward(rng_np, t):
+    g, x = _fused_setup(rng_np)
+    got = sp.fused_softmax_gather_agg(
+        x, jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
+        jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
+        jnp.asarray(g.csc_col_ptr), jnp.float32(t), 1e-7, False, True)
+    want = _fused_xla_ref(x, g, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("grad_weights", [False, True])
+def test_fused_softmax_gather_agg_grads(rng_np, grad_weights):
+    g, x = _fused_setup(rng_np, n=250, e=1500, c=128, node_pad=256, edge_pad=1536)
+    t0 = jnp.float32(0.9)
+    args = (jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
+            jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
+            jnp.asarray(g.csc_col_ptr))
+
+    def f_pallas(x_, t_):
+        out = sp.fused_softmax_gather_agg(x_, *args, t_, 1e-7, grad_weights, True)
+        return jnp.sum(out ** 2)
+
+    def f_xla(x_, t_):
+        return jnp.sum(_fused_xla_ref(x_, g, t_, learn_t=grad_weights) ** 2)
+
+    gx1, gt1 = jax.grad(f_pallas, argnums=(0, 1))(x, t0)
+    gx2, gt2 = jax.grad(f_xla, argnums=(0, 1))(x, t0)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(float(gt1), float(gt2), rtol=5e-4, atol=1e-5)
+
+
+def test_fused_softmax_power_law(rng_np):
+    """Hub node spanning many chunks + isolated nodes (empty rows)."""
+    n, e, c = 600, 4096, 128
+    r = np.concatenate([np.zeros(2500, np.int32),
+                        rng_np.integers(0, n // 2, e - 2500).astype(np.int32)])
+    s = rng_np.integers(0, n, e).astype(np.int32)
+    x = rng_np.standard_normal((n, c)).astype(np.float32)
+    g = build_graph(x, s, r, node_pad=640, edge_pad=4096)
+    xj = jnp.asarray(np.asarray(g.x), jnp.float32)
+    got = sp.fused_softmax_gather_agg(
+        xj, jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
+        jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
+        jnp.asarray(g.csc_col_ptr), jnp.float32(1.0), 1e-7, False, True)
+    want = _fused_xla_ref(xj, g, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
