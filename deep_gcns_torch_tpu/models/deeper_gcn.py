@@ -59,7 +59,12 @@ class DeeperGCNConfig:
     bond_feature_dims: Optional[Tuple[int, ...]] = None
     # graph-level pooling head ('' = node-level output)
     graph_pooling: str = ""
-    remat: bool = True
+    # Layer-scan rematerialization (`torch.utils.checkpoint` analog,
+    # `ogbn_arxiv/model.py:39-41`). Off by default: the fused aggregation keeps
+    # only node-sized residuals (O(N·C) per layer), so full-batch arxiv-scale
+    # training fits HBM without remat and the backward skips a whole re-forward
+    # (~1.5x step time). Enable for very deep nets on very large partitions.
+    remat: bool = False
     # virtual node (ogbg_mol: `ogbg_mol/model.py:57-65,121-132`), res+ only
     add_virtual_node: bool = False
     # final head shape: arxiv/proteins/products/collab apply ReLU after the last

@@ -57,6 +57,10 @@ def add_deeper_gcn_flags(p: argparse.ArgumentParser, *, num_layers=28,
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 halves HBM traffic on the conv hot path")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the layer scan (torch.utils.checkpoint "
+                        "analog) — only needed for very deep nets on very large "
+                        "partitions; costs a re-forward per layer in the backward")
     return p
 
 

@@ -80,7 +80,7 @@ def main():
         learn_p=args.learn_p, y=args.y, learn_y=args.learn_y,
         msg_norm=args.msg_norm, learn_msg_scale=args.learn_msg_scale,
         norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
-        compute_dtype=args.compute_dtype))
+        compute_dtype=args.compute_dtype, remat=args.remat))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)

@@ -41,7 +41,8 @@ def build_model(args, data):
         norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
         edge_mode="per_layer" if args.conv_encode_edge else "one_time",
         edge_feat_dim=8, use_one_hot_encoding=args.use_one_hot_encoding,
-        node_feat_dim=8, final_dropout=False, compute_dtype=args.compute_dtype))
+        node_feat_dim=8, final_dropout=False, compute_dtype=args.compute_dtype,
+        remat=getattr(args, "remat", False)))
 
 
 if __name__ == "__main__":
