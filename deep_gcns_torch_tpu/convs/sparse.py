@@ -124,17 +124,27 @@ class GENConv(Module):
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
               rng: Optional[Array] = None, axis_name: Optional[str] = None,
               edge_attr: Optional[Array] = None, edge_emb: Optional[Array] = None,
-              **kw):
+              edge_emb_csc: Optional[Array] = None, **kw):
         """edge_attr: raw edge features (encoded here when encode_edge);
-        edge_emb: pre-encoded embeddings used as-is (skips the encoder)."""
+        edge_emb: pre-encoded embeddings used as-is (skips the encoder);
+        edge_emb_csc: the same embeddings in sender-sorted (CSC) order — required
+        by the fused-kernel backward; derived from g.edge_attr_csc when encoding
+        happens here."""
         n = x.shape[0]
         enc = self._edge_encoder()
         if edge_emb is None:
             ea = edge_attr if edge_attr is not None else g.edge_attr
+            # the CSC-ordered twin only exists when the source is the graph's own
+            # edge_attr (an explicitly passed edge_attr has no CSC copy here)
+            ea_csc = g.edge_attr_csc if edge_attr is None else None
             if enc is not None and ea is not None:
                 edge_emb, _ = enc.apply(params["edge_encoder"], {}, ea)
+                if edge_emb_csc is None and ea_csc is not None:
+                    edge_emb_csc, _ = enc.apply(params["edge_encoder"], {}, ea_csc)
             elif not self.encode_edge:
                 edge_emb = ea
+                if edge_emb_csc is None:
+                    edge_emb_csc = ea_csc
 
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else x.dtype
 
@@ -149,14 +159,23 @@ class GENConv(Module):
         if isinstance(y, jax.Array) and not self.learn_y:
             y = jax.lax.stop_gradient(y)
 
-        if edge_emb is None and fused_gather_ok(g, x.shape[1], self.aggr):
+        fused = fused_gather_ok(g, x.shape[1], self.aggr) and (
+            edge_emb is None
+            or (edge_emb_csc is not None and edge_emb.shape == (g.num_edges_padded,
+                                                                x.shape[1])))
+        if fused:
             # single-gather fused path: relu+ε message, stabilized exp, and both
             # one-hot dots happen inside one kernel pass; the backward is the CSC
-            # kernel (no edge-cotangent permute, O(N) residuals).
+            # kernel (no edge-cotangent permute, O(N) residuals). Edge-embedding
+            # cotangents flow via the CSC-ordered copy only (same values).
+            ee = ee_csc = None
+            if edge_emb is not None:
+                ee = jax.lax.stop_gradient(edge_emb.astype(cd))
+                ee_csc = edge_emb_csc.astype(cd)
             m = fused_softmax_gather_agg(
                 x.astype(cd), g.senders, g.receivers, g.row_ptr, g.csc_senders,
                 g.csc_receivers, g.csc_col_ptr, jnp.asarray(t, jnp.float32),
-                self.eps, grad_w)
+                ee, ee_csc, self.eps, grad_w)
             if self.aggr == "softmax_sum":
                 deg = segment_degree(g.receivers, n, g.edge_mask, dtype=jnp.float32)
                 m = (jnp.power(deg, jax.nn.sigmoid(y))[:, None]).astype(m.dtype) * m

@@ -67,6 +67,10 @@ class Graph:
     # receivers re-sorted by sender (receivers[csc_perm], sentinel-padded) — lets the
     # fused aggregation backward gather node-space cotangents directly in CSC order.
     csc_receivers: Optional[Array] = None
+    # raw edge features re-sorted by sender (edge_attr[csc_perm], zero-padded) — the
+    # edge encoder is applied to BOTH orderings so the fused backward can emit
+    # d(edge_emb) in CSC order without any device-side edge permute.
+    edge_attr_csc: Optional[Array] = None
     # Static number of graphs in the batch (needed as static segment count for pooling).
     num_graphs: int = dataclasses.field(default=1, metadata=dict(static=True))
 
@@ -175,7 +179,7 @@ def build_graph(
             np.cumsum(counts, out=rp[1:][: n_pad])  # type: ignore[call-overload]
             rp = rp.astype(np.int32)
 
-    csc_perm = csc_senders = csc_col_ptr = csc_receivers = None
+    csc_perm = csc_senders = csc_col_ptr = csc_receivers = edge_attr_csc = None
     if with_csc and n_edge > 0:
         from . import native
 
@@ -198,6 +202,10 @@ def build_graph(
         csc_col_ptr[n_node + 1:] = cp[-1]
         csc_receivers = np.full((e_pad,), sentinel, np.int32)
         csc_receivers[:n_edge] = receivers[order]
+        if edge_attr is not None:
+            ea = np.asarray(edge_attr)
+            edge_attr_csc = np.zeros((e_pad,) + ea.shape[1:], ea.dtype)
+            edge_attr_csc[:n_edge] = ea[order]
 
     return Graph(
         x=None if x is None else pad_rows(np.asarray(x), n_pad),
@@ -214,6 +222,7 @@ def build_graph(
         csc_senders=csc_senders,
         csc_col_ptr=csc_col_ptr,
         csc_receivers=csc_receivers,
+        edge_attr_csc=edge_attr_csc,
         num_graphs=num_graphs,
     )
 

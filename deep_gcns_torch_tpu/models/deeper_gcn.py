@@ -150,8 +150,10 @@ class DeeperGCN(Module):
         return jax.tree_util.tree_map(lambda x: x[i], tree)
 
     def _apply_layer(self, lp, ls, h, g, edge_emb, train, rng, axis_name):
+        ee, ee_csc = edge_emb if isinstance(edge_emb, tuple) else (edge_emb, None)
         return self._gcn.apply(lp, ls, h, g, train=train, rng=rng,
-                               axis_name=axis_name, edge_emb=edge_emb)
+                               axis_name=axis_name, edge_emb=ee,
+                               edge_emb_csc=ee_csc)
 
     # -- forward ------------------------------------------------------------
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
@@ -167,8 +169,15 @@ class DeeperGCN(Module):
 
         edge_emb = None
         if self._edge_encoder is not None and g.edge_attr is not None:
-            edge_emb, _ = self._edge_encoder.apply(params["edge_encoder"], {},
-                                                   g.edge_attr)
+            ee, _ = self._edge_encoder.apply(params["edge_encoder"], {},
+                                             g.edge_attr)
+            ee_csc = None
+            if g.edge_attr_csc is not None:
+                # CSC-ordered copy for the fused-kernel backward (encoded, not
+                # permuted — edge-emb cotangents flow through this one)
+                ee_csc, _ = self._edge_encoder.apply(params["edge_encoder"], {},
+                                                     g.edge_attr_csc)
+            edge_emb = (ee, ee_csc)
 
         # virtual node: one zero-init embedding per graph (`ogbg_mol/model.py:108-112`)
         vn = None

@@ -97,7 +97,8 @@ def _pad_lanes(msgs):
 # ---------------------------------------------------------------------------
 
 def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
-                        smem, sems, init_carry, *, n_pad):
+                        smem, sems, init_carry, *, n_pad, on_first_wait=None,
+                        before_issue=None, finalize=None):
     """Shared pipelined skeleton: iterate this block's chunk range over the global
     edge-tile stream, prefetching LOOKAHEAD ahead and reusing straddling tiles.
 
@@ -117,6 +118,8 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
     def _issue(k):
         slot = k % NBUF
         off = k * CHUNK
+        if before_issue is not None:
+            before_issue(k)  # e.g. drain a pending write-back from this slot
         for ref, buf, sem, is_ids in zip(edge_hbm_refs, scratch_bufs, sems,
                                          _ids_flags):
             if is_ids:
@@ -140,8 +143,10 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
 
     @pl.when(i == 0)
     def _():
-        smem[0] = 0  # next_fetch
-        smem[1] = 0  # waited_upto
+        # smem[0] = next_fetch, smem[1] = waited_upto; extra entries belong to the
+        # caller (e.g. write-pending flags) and must start zeroed too.
+        for j in range(smem.shape[0]):
+            smem[j] = 0
 
         @pl.when(e_total > 0)
         def _():
@@ -174,24 +179,32 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
         @pl.when(k >= wu)
         def _():
             _wait(k)
+            if on_first_wait is not None:
+                on_first_wait(k)  # e.g. flush chunk k-1, zero chunk k's write buf
             smem[1] = k + 1
 
         return compute_chunk(k % NBUF, base, carry)
 
-    return jax.lax.fori_loop(0, nchunks, body, init_carry)
+    out = jax.lax.fori_loop(0, nchunks, body, init_carry)
+    if finalize is not None:
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            finalize()
+    return out
 
 
 def _row_ids(base):
     return jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0) + base
 
 
-def _stream_scratch(c, dtypes):
-    """Scratch shapes for the skeleton: one [NBUF, CHUNK, c] buffer per edge-data
-    array, one [NBUF, 1, CHUNK] id buffer, SMEM cursors, DMA semaphores."""
-    bufs = [pltpu.VMEM((NBUF, CHUNK, c), dt) for dt in dtypes]
+def _stream_scratch(specs, smem_extra=0):
+    """Scratch shapes for the skeleton: one [NBUF, CHUNK, width] buffer per
+    (width, dtype) edge-data spec, one [NBUF, 1, CHUNK] id buffer, SMEM cursors
+    (+ smem_extra caller slots), DMA semaphores."""
+    bufs = [pltpu.VMEM((NBUF, CHUNK, w), dt) for w, dt in specs]
     bufs.append(pltpu.VMEM((NBUF, 1, CHUNK), jnp.int32))
-    sems = [pltpu.SemaphoreType.DMA((NBUF,)) for _ in range(len(dtypes) + 1)]
-    return bufs + [pltpu.SMEM((2,), jnp.int32)] + sems
+    sems = [pltpu.SemaphoreType.DMA((NBUF,)) for _ in range(len(specs) + 1)]
+    return bufs + [pltpu.SMEM((2 + smem_extra,), jnp.int32)] + sems
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +249,7 @@ def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
             ],
             out_specs=pl.BlockSpec((BN, c), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=_stream_scratch(c, [msgs.dtype]),
+            scratch_shapes=_stream_scratch([(c, msgs.dtype)]),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
         interpret=interpret,
@@ -262,9 +275,19 @@ segment_sum_csr.defvjp(_segment_sum_fwd, _segment_sum_bwd)
 # fused generalized softmax aggregation over materialized messages
 # ---------------------------------------------------------------------------
 
-def _softmax_agg_kernel(row_ptr, t_smem, msgs_hbm, recv_hbm, cmax_ref, out_ref,
-                        den_ref, m_buf, r_buf, smem, sem_m, sem_r, *, n_pad, c,
-                        relu_eps):
+def _softmax_agg_kernel(row_ptr, t_smem, *refs, n_pad, c, relu_eps, has_ee):
+    if has_ee:
+        (msgs_hbm, ee_hbm, recv_hbm, cmax_ref, out_ref, den_ref,
+         m_buf, e_buf, r_buf, smem, sem_m, sem_e, sem_r) = refs
+        hbm = [msgs_hbm, ee_hbm, recv_hbm]
+        bufs = [m_buf, e_buf, r_buf]
+        sems = [sem_m, sem_e, sem_r]
+    else:
+        (msgs_hbm, recv_hbm, cmax_ref, out_ref, den_ref,
+         m_buf, r_buf, smem, sem_m, sem_r) = refs
+        hbm = [msgs_hbm, recv_hbm]
+        bufs = [m_buf, r_buf]
+        sems = [sem_m, sem_r]
     t = t_smem[0]
     cmax = cmax_ref[0:1, :]
     cd = msgs_hbm.dtype
@@ -273,6 +296,8 @@ def _softmax_agg_kernel(row_ptr, t_smem, msgs_hbm, recv_hbm, cmax_ref, out_ref,
         num, den = carry
         onehot_t = (r_buf[slot] == _row_ids(base)).astype(cd)
         m = m_buf[slot].astype(jnp.float32)
+        if has_ee:
+            m = m + e_buf[slot].astype(jnp.float32)
         if relu_eps is not None:
             m = jax.nn.relu(m) + relu_eps
         e = jnp.exp(m * t - cmax)  # ≤ 1
@@ -283,42 +308,42 @@ def _softmax_agg_kernel(row_ptr, t_smem, msgs_hbm, recv_hbm, cmax_ref, out_ref,
     num = jnp.zeros((BN, c), jnp.float32)
     den = jnp.zeros((BN, c), jnp.float32)
     num, den = _edge_stream_kernel(
-        compute, row_ptr, [msgs_hbm, recv_hbm], [m_buf, r_buf], smem,
-        [sem_m, sem_r], (num, den), n_pad=n_pad)
+        compute, row_ptr, hbm, bufs, smem, sems, (num, den), n_pad=n_pad)
     out_ref[:, :] = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
                               0.0).astype(out_ref.dtype)
     den_ref[:, :] = den.astype(den_ref.dtype)
 
 
 def _softmax_agg_pallas(msgs, recv_row, row_ptr, t_arr, cmax8, interpret,
-                        relu_eps=None):
+                        relu_eps=None, ee=None):
     e_pad, c = msgs.shape
     n_pad = row_ptr.shape[0] - 1
     assert e_pad % CHUNK == 0 and n_pad % BN == 0, (e_pad, n_pad)
+    has_ee = ee is not None
     kernel = functools.partial(_softmax_agg_kernel, n_pad=n_pad, c=c,
-                               relu_eps=relu_eps)
+                               relu_eps=relu_eps, has_ee=has_ee)
+    edge_inputs = [msgs] + ([ee] if has_ee else []) + [recv_row]
+    buf_specs = [(c, msgs.dtype)] + ([(c, ee.dtype)] if has_ee else [])
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # row_ptr, t
             grid=(n_pad // BN,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(edge_inputs) + [
                 pl.BlockSpec((8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=_stream_scratch(c, [msgs.dtype]),
+            scratch_shapes=_stream_scratch(buf_specs),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
             jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         ),
         interpret=interpret,
-    )(row_ptr, t_arr, msgs, recv_row, cmax8)
+    )(row_ptr, t_arr, *edge_inputs, cmax8)
 
 
 def _softmax_agg_call(msgs, receivers, row_ptr, t, interpret):
@@ -386,46 +411,110 @@ gen_softmax_aggregate_csr.defvjp(_softmax_fwd, _softmax_bwd)
 # fully fused gather + message (relu+ε) + softmax aggregation at the x level
 # ---------------------------------------------------------------------------
 
-def _softmax_bwd_csc_kernel(col_ptr, t_smem, qg_hbm, send_hbm, x_ref, cmax_ref,
-                            dx_ref, dt_ref, q_buf, s_buf, smem, sem_q, sem_s,
-                            *, n_pad, c, eps, grad_weights):
+def _softmax_bwd_csc_kernel(col_ptr, t_smem, *refs, n_pad, c, eps, grad_weights,
+                            has_ee):
     """CSC-major backward: grid over SENDER blocks; x rows arrive as a contiguous
     VMEM block; per-edge x_j is reconstructed with the transposed one-hot dot.
 
     qg: q[csc_receivers] (and, when grad_weights, also out[csc_receivers] in the
     second half of the channel axis), streamed in CSC edge order.
+
+    When has_ee, the pre-encoded edge embeddings are streamed in CSC order and the
+    kernel additionally emits d(edge_emb) in CSC order: contributions accumulate
+    into a per-chunk VMEM buffer (zeroed when the chunk is first waited on; blocks
+    touching a straddling chunk write disjoint edge ranges) and the buffer is
+    DMA-flushed to HBM once the consumption cursor moves past the chunk.  The dee
+    output must arrive pre-zeroed (input_output_aliased) so the unconsumed padding
+    tail stays zero.
     """
+    if has_ee:
+        (qg_hbm, ee_hbm, send_hbm, dee_zeros, x_ref, cmax_ref,
+         dx_ref, dt_ref, dee_hbm,
+         q_buf, e_buf, s_buf, smem, sem_q, sem_e, sem_s,
+         dee_buf, wsem) = refs
+        hbm = [qg_hbm, ee_hbm, send_hbm]
+        bufs = [q_buf, e_buf, s_buf]
+        sems = [sem_q, sem_e, sem_s]
+        del dee_zeros  # aliased to dee_hbm
+    else:
+        (qg_hbm, send_hbm, x_ref, cmax_ref, dx_ref, dt_ref,
+         q_buf, s_buf, smem, sem_q, sem_s) = refs
+        hbm = [qg_hbm, send_hbm]
+        bufs = [q_buf, s_buf]
+        sems = [sem_q, sem_s]
     t = t_smem[0]
     cmax = cmax_ref[0:1, :]
     cd = qg_hbm.dtype
     x_blk = x_ref[:, :]  # [BN, C] this sender block's features (contiguous)
 
+    # --- dee write-back hooks (active only with edge embeddings) ---------------
+    WP = 2  # smem offset of the per-slot write-pending flags
+
+    def _dee_flush(k):
+        slot = k % NBUF
+        pltpu.make_async_copy(dee_buf.at[slot],
+                              dee_hbm.at[pl.ds(k * CHUNK, CHUNK), :],
+                              wsem.at[slot]).start()
+        smem[WP + slot] = 1
+
+    def _dee_drain(slot):
+        @pl.when(smem[WP + slot] == 1)
+        def _():
+            pltpu.make_async_copy(dee_buf.at[slot],
+                                  dee_hbm.at[pl.ds(0, CHUNK), :],
+                                  wsem.at[slot]).wait()
+            smem[WP + slot] = 0
+
+    def on_first_wait(k):
+        # chunk k-1 is fully contributed (all its consumer blocks ran): flush it.
+        @pl.when(k >= 1)
+        def _():
+            _dee_flush(k - 1)
+        dee_buf[k % NBUF] = jnp.zeros((CHUNK, c), dee_buf.dtype)
+
+    def before_issue(k):
+        _dee_drain(k % NBUF)
+
+    def finalize():
+        wu = smem[1]
+
+        @pl.when(wu > 0)
+        def _():
+            _dee_flush(wu - 1)
+        for s in range(NBUF):
+            _dee_drain(s)
+
     def compute(slot, base, carry):
         dx, dt = carry
         onehot_t = (s_buf[slot] == _row_ids(base)).astype(cd)  # [BN, CHUNK]
         xj = _dot_t(onehot_t, x_blk)  # [CHUNK, C] f32 — zeros for foreign edges
+        if has_ee:
+            xj = xj + e_buf[slot].astype(jnp.float32)
         m = jax.nn.relu(xj) + eps
         e = jnp.exp(m * t - cmax)
         q_all = q_buf[slot].astype(jnp.float32)
         q = q_all[:, :c]
+        # restrict to this block's own edges (foreign/sentinel rows are garbage)
+        mine = jnp.sum(onehot_t.astype(jnp.float32), axis=0)[:, None]  # [CHUNK, 1]
         if grad_weights:
             out_e = q_all[:, c:]
             dm = q * e * (1.0 + t * (m - out_e))
-            # note: foreign/sentinel edges contribute garbage to dt unless masked —
-            # onehot match restricts to this block's own edges.
-            mine = jnp.sum(onehot_t.astype(jnp.float32), axis=0)[:, None]  # [CHUNK,1]
             dt = dt + jnp.sum(mine * q * e * m * (m - out_e))
         else:
             dm = q * e
         dxj = jnp.where(xj > 0, dm, 0.0)  # relu'
         dx = dx + _dot(onehot_t, dxj.astype(cd))
+        if has_ee:
+            dee_buf[slot] = dee_buf[slot] + (dxj * mine).astype(dee_buf.dtype)
         return dx, dt
 
     dx = jnp.zeros((BN, c), jnp.float32)
     dt0 = jnp.zeros((), jnp.float32)
     dx, dt = _edge_stream_kernel(
-        compute, col_ptr, [qg_hbm, send_hbm], [q_buf, s_buf], smem,
-        [sem_q, sem_s], (dx, dt0), n_pad=n_pad)
+        compute, col_ptr, hbm, bufs, smem, sems, (dx, dt0), n_pad=n_pad,
+        on_first_wait=on_first_wait if has_ee else None,
+        before_issue=before_issue if has_ee else None,
+        finalize=finalize if has_ee else None)
     dx_ref[:, :] = dx.astype(dx_ref.dtype)
     pos = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
@@ -433,94 +522,136 @@ def _softmax_bwd_csc_kernel(col_ptr, t_smem, qg_hbm, send_hbm, x_ref, cmax_ref,
 
 
 def _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr, cmax8, interpret,
-                      eps, grad_weights):
+                      eps, grad_weights, ee_csc=None):
     e_pad = qg.shape[0]
     n_pad = csc_col_ptr.shape[0] - 1
     c = x.shape[1]
     assert e_pad % CHUNK == 0 and n_pad % BN == 0, (e_pad, n_pad)
+    has_ee = ee_csc is not None
     send_row = csc_senders.reshape(1, e_pad)
     kernel = functools.partial(_softmax_bwd_csc_kernel, n_pad=n_pad, c=c, eps=eps,
-                               grad_weights=grad_weights)
+                               grad_weights=grad_weights, has_ee=has_ee)
     qdt = qg.dtype
-    dx, dtp = pl.pallas_call(
+    edge_inputs = [qg] + ([ee_csc] if has_ee else []) + [send_row]
+    num_edge = len(edge_inputs)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * num_edge
+    inputs = list(edge_inputs)
+    io_aliases = {}
+    if has_ee:
+        # pre-zeroed buffer aliased to the dee output (keeps the padding tail 0)
+        inputs.append(jnp.zeros((e_pad, c), ee_csc.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        # alias keys index the flattened operands INCLUDING the 2 scalar-prefetch
+        # args (col_ptr, t): zeros input -> dee output (output index 2)
+        io_aliases = {2 + num_edge: 2}
+    in_specs += [
+        pl.BlockSpec((BN, c), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),  # x block
+        pl.BlockSpec((8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+        jax.ShapeDtypeStruct((n_pad // BN * 8, 128), jnp.float32),
+    ]
+    buf_specs = [(qg.shape[1], qdt)] + ([(c, ee_csc.dtype)] if has_ee else [])
+    scratch = _stream_scratch(buf_specs, smem_extra=NBUF if has_ee else 0)
+    if has_ee:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((e_pad, c), ee_csc.dtype))
+        scratch += [pltpu.VMEM((NBUF, CHUNK, c), ee_csc.dtype),
+                    pltpu.SemaphoreType.DMA((NBUF,))]
+
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # csc_col_ptr, t
             grid=(n_pad // BN,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),   # qg [E, C or 2C]
-                pl.BlockSpec(memory_space=pl.ANY),   # csc sender ids [1, E]
-                pl.BlockSpec((BN, c), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),  # x block
-                pl.BlockSpec((8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=_stream_scratch(qg.shape[1], [qdt]),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, c), x.dtype),
-            jax.ShapeDtypeStruct((n_pad // BN * 8, 128), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
+        input_output_aliases=io_aliases,
         interpret=interpret,
-    )(csc_col_ptr, t_arr, qg, send_row, x, cmax8)
-    return dx, jnp.sum(dtp[::8, 0])
+    )(csc_col_ptr, t_arr, *inputs, x, cmax8)
+    if has_ee:
+        dx, dtp, dee = res
+    else:
+        (dx, dtp), dee = res, None
+    return dx, jnp.sum(dtp[::8, 0]), dee
 
 
-def _fused_cmax(x, t_arr, eps, c):
-    """Per-channel upper bound on the softmax scores t·(relu(x_j)+ε), computed in
-    node space (padding rows are harmless: relu ≥ 0 and senders are valid rows).
+def _fused_cmax(x, t_arr, eps, c, ee=None):
+    """Per-channel upper bound on the softmax scores t·(relu(x_j [+e_e])+ε),
+    computed from node-space (and, with edge embeddings, one edge-space) channel
+    maxima (padding rows are harmless: relu ≥ 0 and senders are valid rows).
     Any constant ≥ max keeps exp ≤ 1; shift-invariance keeps the result exact."""
     t0 = t_arr[0]
-    m_ub = jnp.max(jax.nn.relu(x.astype(jnp.float32)), axis=0) + eps
+    m_ub = jnp.max(jax.nn.relu(x.astype(jnp.float32)), axis=0)
+    if ee is not None:
+        # relu(a+b) ≤ relu(max a + max b) per channel
+        m_ub = jax.nn.relu(m_ub + jnp.max(ee.astype(jnp.float32), axis=0))
+    m_ub = m_ub + eps
     cmax = jnp.where(t0 > 0, t0 * m_ub, t0 * eps)
     cmax = jax.lax.stop_gradient(cmax)
     return cmax, jnp.broadcast_to(cmax[None, :], (8, c))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def fused_softmax_gather_agg(x: Array, senders: Array, receivers: Array,
                              row_ptr: Array, csc_senders: Array,
                              csc_receivers: Array, csc_col_ptr: Array, t: Array,
+                             ee: Array | None = None, ee_csc: Array | None = None,
                              eps: float = 1e-7, grad_weights: bool = False,
                              interpret: bool = False) -> Array:
-    """GENConv aggregation fused at the node level (no edge-feature path):
+    """GENConv aggregation fused at the node level:
 
-        out[n] = Σ_{e: recv=n} softmax_e(t·m_e) · m_e,   m_e = relu(x[send_e]) + ε
+        out[n] = Σ_{e: recv=n} softmax_e(t·m_e)·m_e,   m_e = relu(x[send_e] + e_e) + ε
 
     (`gcn_lib/sparse/torch_vertex.py:78-85` message + `torch_message.py:44-58`
     softmax aggregation.)  x must be lane-aligned (C % 128 == 0); caller pads.
+
+    Edge embeddings are supplied in BOTH edge orders: ``ee`` (receiver-sorted, used
+    by the forward) and ``ee_csc`` (sender-sorted, used by the backward).  Encode
+    ``graph.edge_attr`` and ``graph.edge_attr_csc`` separately to produce them —
+    never permute on device.  The VJP routes the whole edge-embedding cotangent to
+    ``ee_csc`` (in CSC order) and returns a symbolic zero for ``ee``; the two are
+    the same values, so total gradients through the encoder are exact.  Pass
+    ``ee = lax.stop_gradient(ee)`` to avoid a dead encoder-VJP branch.
     """
-    out, _, _ = _fused_fwd_call(x, senders, receivers, row_ptr, t, eps, interpret)
+    out, _, _ = _fused_fwd_call(x, senders, receivers, row_ptr, t, ee, eps,
+                                interpret)
     return out
 
 
-def _fused_fwd_call(x, senders, receivers, row_ptr, t, eps, interpret):
+def _fused_fwd_call(x, senders, receivers, row_ptr, t, ee, eps, interpret):
     e_pad = receivers.shape[0]
     n_pad = row_ptr.shape[0] - 1
     c = x.shape[1]
     assert c % 128 == 0, "fused path requires lane-aligned channels"
     t_arr = jnp.asarray(t, jnp.float32).reshape(1)
-    cmax, cmax8 = _fused_cmax(x, t_arr, eps, c)
+    cmax, cmax8 = _fused_cmax(x, t_arr, eps, c, ee)
     xj = jnp.take(x, jnp.minimum(senders, n_pad - 1), axis=0)
     recv_row = receivers.reshape(1, e_pad)
     out, den = _softmax_agg_pallas(xj, recv_row, row_ptr, t_arr, cmax8, interpret,
-                                   relu_eps=eps)
+                                   relu_eps=eps, ee=ee)
     return out, den, cmax
 
 
 def _fused_fwd(x, senders, receivers, row_ptr, csc_senders, csc_receivers,
-               csc_col_ptr, t, eps, grad_weights, interpret):
-    out, den, cmax = _fused_fwd_call(x, senders, receivers, row_ptr, t, eps,
+               csc_col_ptr, t, ee, ee_csc, eps, grad_weights, interpret):
+    out, den, cmax = _fused_fwd_call(x, senders, receivers, row_ptr, t, ee, eps,
                                      interpret)
-    return out, (x, csc_senders, csc_receivers, csc_col_ptr, t, out, den, cmax)
+    return out, (x, csc_senders, csc_receivers, csc_col_ptr, t, ee_csc, out, den,
+                 cmax)
 
 
 def _fused_bwd(eps, grad_weights, interpret, res, g):
-    x, csc_senders, csc_receivers, csc_col_ptr, t, out, den, cmax = res
+    x, csc_senders, csc_receivers, csc_col_ptr, t, ee_csc, out, den, cmax = res
     n_pad = den.shape[0]
     c = x.shape[1]
     t_arr = jnp.asarray(t, jnp.float32).reshape(1)
@@ -535,12 +666,14 @@ def _fused_bwd(eps, grad_weights, interpret, res, g):
     r_safe = jnp.minimum(csc_receivers, n_pad - 1)
     qg = jnp.take(qo, r_safe, axis=0)
     # padding edges: sentinel senders match no one-hot row — no masking needed
-    dx, dt = _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr, cmax8,
-                               interpret, eps, grad_weights)
+    dx, dt, dee_csc = _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr,
+                                        cmax8, interpret, eps, grad_weights,
+                                        ee_csc=ee_csc)
     if not grad_weights:
         dt = jnp.zeros((), jnp.float32)
     dt = jnp.broadcast_to(dt, jnp.shape(t)).astype(jnp.float32)
-    return dx, None, None, None, None, None, None, dt
+    d_ee = None if ee_csc is None else jnp.zeros_like(ee_csc)
+    return dx, None, None, None, None, None, None, dt, d_ee, dee_csc
 
 
 fused_softmax_gather_agg.defvjp(_fused_fwd, _fused_bwd)

@@ -39,7 +39,7 @@ def xla_ref(x, t):
 
 for gw in (False, True):
     def f_fused(x, t):
-        return jnp.sum(sp.fused_softmax_gather_agg(x, *args, t, 1e-7, gw) ** 2)
+        return jnp.sum(sp.fused_softmax_gather_agg(x, *args, t, None, None, 1e-7, gw) ** 2)
 
     def f_xla(x, t):
         out = seg.generalized_aggregate(
@@ -49,7 +49,7 @@ for gw in (False, True):
             mask=g.edge_mask, use_pallas=False)
         return jnp.sum(out ** 2)
 
-    o1 = jax.jit(lambda x, t: sp.fused_softmax_gather_agg(x, *args, t, 1e-7, gw))(x32, t0)
+    o1 = jax.jit(lambda x, t: sp.fused_softmax_gather_agg(x, *args, t, None, None, 1e-7, gw))(x32, t0)
     o2 = jax.jit(xla_ref)(x32, t0)
     err = float(jnp.max(jnp.abs(o1 - o2)) / (jnp.max(jnp.abs(o2)) + 1e-9))
     gx1, gt1 = jax.jit(jax.grad(f_fused, argnums=(0, 1)))(x32, t0)
@@ -73,9 +73,9 @@ def timeit(name, fn, *a, iters=20):
     print(f"{name:40s} {(time.time()-tt)/iters*1000:8.2f} ms")
 
 
-timeit("fused fwd bf16", lambda x: sp.fused_softmax_gather_agg(x, *args, t0, 1e-7, False), x16)
+timeit("fused fwd bf16", lambda x: sp.fused_softmax_gather_agg(x, *args, t0, None, None, 1e-7, False), x16)
 timeit("fused fwd+bwd bf16",
-       jax.grad(lambda x: jnp.sum(sp.fused_softmax_gather_agg(x, *args, t0, 1e-7, False))), x16)
+       jax.grad(lambda x: jnp.sum(sp.fused_softmax_gather_agg(x, *args, t0, None, None, 1e-7, False))), x16)
 
 msgs16 = jnp.asarray(rng.standard_normal((E, C)), jnp.bfloat16)
 timeit("softmax_agg(msgs) fwd bf16 [pipelined]",

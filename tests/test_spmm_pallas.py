@@ -126,7 +126,7 @@ def test_fused_softmax_gather_agg_forward(rng_np, t):
     got = sp.fused_softmax_gather_agg(
         x, jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
         jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
-        jnp.asarray(g.csc_col_ptr), jnp.float32(t), 1e-7, False, True)
+        jnp.asarray(g.csc_col_ptr), jnp.float32(t), None, None, 1e-7, False, True)
     want = _fused_xla_ref(x, g, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
@@ -140,7 +140,7 @@ def test_fused_softmax_gather_agg_grads(rng_np, grad_weights):
             jnp.asarray(g.csc_col_ptr))
 
     def f_pallas(x_, t_):
-        out = sp.fused_softmax_gather_agg(x_, *args, t_, 1e-7, grad_weights, True)
+        out = sp.fused_softmax_gather_agg(x_, *args, t_, None, None, 1e-7, grad_weights, True)
         return jnp.sum(out ** 2)
 
     def f_xla(x_, t_):
@@ -164,6 +164,53 @@ def test_fused_softmax_power_law(rng_np):
     got = sp.fused_softmax_gather_agg(
         xj, jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
         jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
-        jnp.asarray(g.csc_col_ptr), jnp.float32(1.0), 1e-7, False, True)
+        jnp.asarray(g.csc_col_ptr), jnp.float32(1.0), None, None, 1e-7, False, True)
     want = _fused_xla_ref(xj, g, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("grad_weights", [False, True])
+def test_fused_softmax_with_edge_emb(rng_np, grad_weights):
+    """Edge-embedding path: m = relu(x_j + e) + eps; d(edge_emb) emitted in CSC
+    order via the accumulate-and-flush write-back."""
+    n, e, c = 300, 2000, 128
+    x, s, r = random_graph(rng_np, n, e, c)
+    attr = rng_np.standard_normal((e, 8)).astype(np.float32)
+    g = build_graph(x, s, r, edge_attr=attr, node_pad=384, edge_pad=2560)
+    xj = jnp.asarray(np.asarray(g.x), jnp.float32)
+    W = jnp.asarray(rng_np.standard_normal((8, c)) * 0.3, jnp.float32)
+    t0 = jnp.float32(0.8)
+    csc_perm = np.asarray(g.csc_perm)
+    args = (jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
+            jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
+            jnp.asarray(g.csc_col_ptr))
+    ea = jnp.asarray(g.edge_attr)
+    ea_csc = jnp.asarray(g.edge_attr_csc)
+
+    def f_pallas(x_, W_, t_):
+        ee = jax.lax.stop_gradient(ea @ W_)
+        ee_csc = ea_csc @ W_
+        out = sp.fused_softmax_gather_agg(x_, *args, t_, ee, ee_csc, 1e-7,
+                                          grad_weights, True)
+        return jnp.sum(out ** 2)
+
+    def f_xla(x_, W_, t_):
+        ee = ea @ W_
+        xg = jnp.take(x_, jnp.minimum(jnp.asarray(g.senders),
+                                      g.num_nodes_padded - 1), axis=0)
+        m = jax.nn.relu(xg + ee) + 1e-7
+        out = seg.generalized_aggregate(m, jnp.asarray(g.receivers),
+                                        g.num_nodes_padded, aggr="softmax", t=t_,
+                                        learn_t=grad_weights,
+                                        mask=jnp.asarray(g.edge_mask))
+        return jnp.sum(out ** 2)
+
+    v1 = f_pallas(xj, W, t0)
+    v2 = f_xla(xj, W, t0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+
+    gx1, gw1, gt1 = jax.grad(f_pallas, argnums=(0, 1, 2))(xj, W, t0)
+    gx2, gw2, gt2 = jax.grad(f_xla, argnums=(0, 1, 2))(xj, W, t0)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(float(gt1), float(gt2), rtol=5e-4, atol=1e-5)
