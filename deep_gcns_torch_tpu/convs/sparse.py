@@ -26,7 +26,7 @@ from ..ops.segment import (
     fused_gather_ok, generalized_aggregate, scatter, segment_degree,
     segment_softmax, segment_sum,
 )
-from ..ops.spmm_pallas import fused_softmax_gather_agg
+from ..ops.spmm_pallas import fused_softmax_gather_agg_auto
 from ..ops.gather import gather_src_auto
 from ..ops.knn import dilated_knn_graph_flat
 from ..graph import build_graph  # noqa: F401  (re-export convenience)
@@ -123,7 +123,9 @@ class GENConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
               rng: Optional[Array] = None, axis_name: Optional[str] = None,
-              edge_attr: Optional[Array] = None, edge_emb: Optional[Array] = None,
+              edge_attr: Optional[Array] = None,
+              edge_attr_csc: Optional[Array] = None,
+              edge_emb: Optional[Array] = None,
               edge_emb_csc: Optional[Array] = None, **kw):
         """edge_attr: raw edge features (encoded here when encode_edge);
         edge_emb: pre-encoded embeddings used as-is (skips the encoder);
@@ -134,9 +136,8 @@ class GENConv(Module):
         enc = self._edge_encoder()
         if edge_emb is None:
             ea = edge_attr if edge_attr is not None else g.edge_attr
-            # the CSC-ordered twin only exists when the source is the graph's own
-            # edge_attr (an explicitly passed edge_attr has no CSC copy here)
-            ea_csc = g.edge_attr_csc if edge_attr is None else None
+            # the CSC-ordered twin: explicit edge_attr needs an explicit CSC copy
+            ea_csc = edge_attr_csc if edge_attr is not None else g.edge_attr_csc
             if enc is not None and ea is not None:
                 edge_emb, _ = enc.apply(params["edge_encoder"], {}, ea)
                 if edge_emb_csc is None and ea_csc is not None:
@@ -172,7 +173,7 @@ class GENConv(Module):
             if edge_emb is not None:
                 ee = jax.lax.stop_gradient(edge_emb.astype(cd))
                 ee_csc = edge_emb_csc.astype(cd)
-            m = fused_softmax_gather_agg(
+            m = fused_softmax_gather_agg_auto(
                 x.astype(cd), g.senders, g.receivers, g.row_ptr, g.csc_senders,
                 g.csc_receivers, g.csc_col_ptr, jnp.asarray(t, jnp.float32),
                 ee, ee_csc, self.eps, grad_w)

@@ -102,12 +102,17 @@ class RevGCN(Module):
             h_in = node_feats if node_feats is not None else x
         h, _ = self._encoder.apply(params["encoder"], {}, h_in)
 
-        # -- edge embedding, replicated ×G (`:98-99`)
-        edge_emb = None
+        # -- edge embedding, replicated ×G (`:98-99`); the CSC-ordered twin rides
+        # alongside so each group's GENConv can take the fused-kernel path
+        edge_emb = edge_emb_csc = None
         if g.edge_attr is not None:
             edge_emb, _ = self._edge_encoder.apply(params["edge_encoder"], {},
                                                    g.edge_attr)
             edge_emb = jnp.concatenate([edge_emb] * c.group, axis=-1)
+            if g.edge_attr_csc is not None:
+                edge_emb_csc, _ = self._edge_encoder.apply(
+                    params["edge_encoder"], {}, g.edge_attr_csc)
+                edge_emb_csc = jnp.concatenate([edge_emb_csc] * c.group, axis=-1)
 
         # -- one shared dropout mask for all layers (`:101-102`)
         mask = None
@@ -121,15 +126,15 @@ class RevGCN(Module):
         coupling = self._coupling
 
         def fwd_one(p, h, diff_args):
-            m, e = diff_args  # positional: (dropout mask, edge emb); None allowed
-            return coupling.forward(p, h, g, m, e, train=train)
+            m, e, ec = diff_args  # (dropout mask, edge emb, csc twin); None allowed
+            return coupling.forward(p, h, g, m, e, ec, train=train)
 
         def inv_one(p, y, diff_args):
-            m, e = diff_args
-            return coupling.inverse(p, y, g, m, e, train=train)
+            m, e, ec = diff_args
+            return coupling.inverse(p, y, g, m, e, ec, train=train)
 
         run = make_reversible_scan(fwd_one, inv_one)
-        h = run(params["layers"], h, (mask, edge_emb))
+        h = run(params["layers"], h, (mask, edge_emb, edge_emb_csc))
 
         # -- head (`:109-112`)
         h, _ = self._last_norm.apply(params["last_norm"], {}, h, train=train,

@@ -140,8 +140,12 @@ def fused_gather_ok(g, c: int, aggr: str) -> bool:
     if g.row_ptr is None or g.csc_col_ptr is None or g.csc_receivers is None:
         return False
     from . import spmm_pallas as sp
-    if (c % 128 or g.num_edges_padded % sp.CHUNK
-            or g.num_nodes_padded % sp.BN):
+    cp = -(-c // 128) * 128  # lane-padded width (Mosaic DMA requirement)
+    # any c ≤ 128 wins even at high padding ratios (the unfused path's fixed
+    # permute/gather overheads dominate: measured 2.5x at c=40); above one lane
+    # tile, cap the padding overhead at 2x.
+    if (cp > 128 and cp > 2 * c) or g.num_edges_padded % sp.CHUNK \
+            or g.num_nodes_padded % sp.BN:
         return False
     try:
         return jax.devices()[0].platform == "tpu"

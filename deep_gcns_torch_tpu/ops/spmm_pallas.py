@@ -677,3 +677,26 @@ def _fused_bwd(eps, grad_weights, interpret, res, g):
 
 
 fused_softmax_gather_agg.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_softmax_gather_agg_auto(x, senders, receivers, row_ptr, csc_senders,
+                                  csc_receivers, csc_col_ptr, t, ee=None,
+                                  ee_csc=None, eps: float = 1e-7,
+                                  grad_weights: bool = False,
+                                  interpret: bool = False):
+    """Lane-padding wrapper: pads channels up to a 128 multiple (Mosaic DMA
+    requirement), runs the fused op, slices back.  Zero lanes are exact no-ops
+    for relu/exp/softmax (they contribute constant columns that are sliced off),
+    and `jnp.pad`'s VJP slices the cotangent — gradients are exact.  Worth it up
+    to 2x padding overhead (use `fused_gather_ok` to route)."""
+    c = x.shape[1]
+    pad = (-c) % 128
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        if ee is not None:
+            ee = jnp.pad(ee, ((0, 0), (0, pad)))
+            ee_csc = jnp.pad(ee_csc, ((0, 0), (0, pad)))
+    out = fused_softmax_gather_agg(x, senders, receivers, row_ptr, csc_senders,
+                                   csc_receivers, csc_col_ptr, t, ee, ee_csc,
+                                   eps, grad_weights, interpret)
+    return out[:, :c] if pad else out

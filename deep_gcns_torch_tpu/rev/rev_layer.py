@@ -65,13 +65,15 @@ class GENBlock(Module):
               train: bool = False, **kw):
         dropout_mask = chunk_args[0] if len(chunk_args) > 0 else None
         edge_attr = chunk_args[1] if len(chunk_args) > 1 else None
+        edge_attr_csc = chunk_args[2] if len(chunk_args) > 2 else None
         nrm = make_norm(self.norm, self.in_dim)
         h, _ = nrm.apply(params["norm"], {}, x, train=train, mask=g.node_mask)
         h = jax.nn.relu(h)
         if train and dropout_mask is not None:
             h = h * dropout_mask
         out, _ = self._gcn().apply(params["gcn"], {}, h, g, train=train,
-                                   edge_attr=edge_attr)
+                                   edge_attr=edge_attr,
+                                   edge_attr_csc=edge_attr_csc)
         return out, state
 
 
