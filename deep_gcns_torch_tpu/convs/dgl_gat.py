@@ -22,7 +22,26 @@ import jax.numpy as jnp
 
 from ..graph import Graph
 from ..nn.core import Module
+from ..ops.gather import gather_src_auto
 from ..ops.segment import segment_degree, segment_softmax, segment_sum
+from ..ops.spmm_pallas import gat_softmax_spmm
+
+
+def _gat_fused_ok(g: "Graph", packed_width: int) -> bool:
+    """Route to the fused attention+SpMM kernel pair when legal on TPU."""
+    if g.row_ptr is None or g.csc_col_ptr is None or g.csc_receivers is None:
+        return False
+    from ..ops import spmm_pallas as sp
+
+    pp = -(-packed_width // 128) * 128
+    if pp > 2 * packed_width and pp > 384:
+        return False
+    if g.num_edges_padded % sp.CHUNK or g.num_nodes_padded % sp.BN:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 Array = jax.Array
 
@@ -37,6 +56,9 @@ class SymGATConv(Module):
     use_attn_dst: bool = True
     residual: bool = False
     use_symmetric_norm: bool = False
+    # 'bfloat16' halves HBM traffic of the fused attention+SpMM path (the packed
+    # table gather dominates); accumulation stays f32 in-kernel.
+    compute_dtype: str = "float32"
 
     def init(self, key):
         k = jax.random.split(key, 4)
@@ -83,10 +105,33 @@ class SymGATConv(Module):
         att_mask = emask
         if train and self.edge_drop > 0 and keep_mask is not None:
             att_mask = att_mask & (keep_mask > 0)
-        alpha = segment_softmax(score, g.receivers, n, mask=att_mask)
 
-        msg = jnp.take(feat_src, jnp.minimum(g.senders, n - 1), axis=0)
-        out = segment_sum(msg * alpha[..., None], g.receivers, n, mask=att_mask)
+        if (not self.use_attn_dst) and _gat_fused_ok(g, h * d + h):
+            # fully fused attention+SpMM: one gather of the packed [feat|el]
+            # table, CSR forward / CSC backward kernels; renormalizing edge-drop
+            # folds into sentinel receiver ids.
+            cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                  else feat_src.dtype)
+            T = jnp.concatenate([feat_src.reshape(n, h * d), el], axis=1)
+            pp = -(-(h * d + h) // 128) * 128
+            T = jnp.pad(T, ((0, 0), (0, pp - h * d - h))).astype(cd)
+            recv_eff = jnp.where(att_mask, g.receivers, n)
+            keep_csc = None
+            if train and self.edge_drop > 0 and keep_mask is not None:
+                # padding edges are already excluded by sentinel sender ids
+                keep_csc = jnp.take(keep_mask, g.csc_perm)
+            agg = gat_softmax_spmm(T, g.senders, recv_eff, g.row_ptr,
+                                   g.csc_senders, g.csc_receivers, g.csc_col_ptr,
+                                   keep_csc, h * d, h, self.neg_slope)
+            num = agg[:, :h * d].astype(jnp.float32).reshape(n, h, d)
+            den = agg[:, h * d:h * d + h].astype(jnp.float32)
+            out = jnp.where((den > 0)[..., None],
+                            num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+        else:
+            alpha = segment_softmax(score, g.receivers, n, mask=att_mask)
+            msg = gather_src_auto(feat_src.reshape(n, h * d), g).reshape(-1, h, d)
+            out = segment_sum(msg * alpha[..., None], g.receivers, n,
+                              mask=att_mask, row_ptr=g.row_ptr)
 
         if self.use_symmetric_norm:
             in_deg = segment_degree(g.receivers, n, mask=emask)

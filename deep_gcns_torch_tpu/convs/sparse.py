@@ -27,7 +27,7 @@ from ..ops.segment import (
     segment_softmax, segment_sum,
 )
 from ..ops.spmm_pallas import fused_softmax_gather_agg_auto
-from ..ops.gather import gather_src_auto
+from ..ops.gather import gather_dst_auto, gather_src_auto
 from ..ops.knn import dilated_knn_graph_flat
 from ..graph import build_graph  # noqa: F401  (re-export convenience)
 
@@ -224,8 +224,9 @@ class MRConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        rel = gather(x, g.senders) - gather(x, g.receivers)
-        agg = scatter(self.aggr, rel, g.receivers, x.shape[0], mask=g.edge_mask)
+        rel = gather_src_auto(x, g) - gather_dst_auto(x, g)
+        agg = scatter(self.aggr, rel, g.receivers, x.shape[0], mask=g.edge_mask,
+                      row_ptr=g.row_ptr)
         h = jnp.concatenate([x, agg], axis=1)
         out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
                                    mask=g.node_mask, axis_name=axis_name)
@@ -255,14 +256,15 @@ class EdgeConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        x_i = gather(x, g.receivers)
-        x_j = gather(x, g.senders)
+        x_i = gather_dst_auto(x, g)
+        x_j = gather_src_auto(x, g)
         h = jnp.concatenate([x_i, x_j - x_i], axis=1)
         # NB: the MLP (incl. batch-norm over *edges*) runs per-edge, then max-aggregates
         # — same order as PyG EdgeConv(nn, 'max').
         msg, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
                                    mask=g.edge_mask, axis_name=axis_name)
-        out = scatter(self.aggr, msg, g.receivers, x.shape[0], mask=g.edge_mask)
+        out = scatter(self.aggr, msg, g.receivers, x.shape[0], mask=g.edge_mask,
+                      row_ptr=g.row_ptr)
         return out, {"nn": ns}
 
 
@@ -326,10 +328,10 @@ class GATConv(Module):
         alpha = e_exp / jnp.maximum(gather(denom, g.receivers), 1e-16)
         alpha_self = self_exp / jnp.maximum(denom, 1e-16)
 
-        msg = gather(xt, g.senders) * alpha[..., None]
-        out = jax.ops.segment_sum(
-            jnp.where(emask[:, None, None], msg, 0), g.receivers, n,
-            indices_are_sorted=True)
+        xt_flat = xt.reshape(n, h * d)
+        msg = gather_src_auto(xt_flat, g).reshape(-1, h, d) * alpha[..., None]
+        out = segment_sum(jnp.where(emask[:, None, None], msg, 0), g.receivers, n,
+                          row_ptr=g.row_ptr)
         out = out + xt * alpha_self[..., None]
         out = out.reshape(n, h * d)
         if self.bias:
@@ -381,14 +383,14 @@ class RSAGEConv(Module):
         n = x.shape[0]
         emask = _no_self_mask(g)
         if self.relative:
-            rel = gather(x, g.senders) - gather(x, g.receivers)
+            rel = gather_src_auto(x, g) - gather_dst_auto(x, g)
             msg = rel @ params["w"]
             self_msg = jnp.zeros((n, self.out_dim), msg.dtype)
         else:
-            msg = gather(x, g.senders) @ params["w"]
+            msg = gather_src_auto(x, g) @ params["w"]
             self_msg = x @ params["w"]
         # mean over neighbors ∪ {self}
-        s = segment_sum(msg, g.receivers, n, mask=emask) + self_msg
+        s = segment_sum(msg, g.receivers, n, mask=emask, row_ptr=g.row_ptr) + self_msg
         cnt = segment_degree(g.receivers, n, mask=emask) + 1.0
         agg = s / cnt[:, None]
         h = jnp.concatenate([x, agg], axis=1)
@@ -438,8 +440,8 @@ class SemiGCNConv(Module):
         deg = segment_degree(g.receivers, n, mask=emask) + (1.0 - jnp.minimum(has_self, 1.0))
         dinv = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
         coef = gather(dinv, g.receivers) * gather(dinv, g.senders)
-        msg = gather(xt, g.senders) * coef[:, None]
-        out = segment_sum(msg, g.receivers, n, mask=emask)
+        msg = gather_src_auto(xt, g) * coef[:, None]
+        out = segment_sum(msg, g.receivers, n, mask=emask, row_ptr=g.row_ptr)
         # analytic self-loop term only for nodes without an explicit self edge
         out = out + xt * ((1.0 - jnp.minimum(has_self, 1.0)) * dinv * dinv)[:, None]
         if self.bias:
@@ -478,8 +480,8 @@ class GINConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        agg = segment_sum(gather(x, g.senders), g.receivers, x.shape[0],
-                          mask=g.edge_mask)
+        agg = segment_sum(gather_src_auto(x, g), g.receivers, x.shape[0],
+                          mask=g.edge_mask, row_ptr=g.row_ptr)
         h = (1.0 + self.eps) * x + agg
         out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
                                    mask=g.node_mask, axis_name=axis_name)

@@ -53,11 +53,13 @@ class RevGATBlock(Module):
     edge_drop: float = 0.0
     use_attn_dst: bool = True
     use_symmetric_norm: bool = False
+    compute_dtype: str = "float32"
 
     def _conv(self):
         return SymGATConv(self.in_dim, self.out_dim, self.n_heads,
                           edge_drop=self.edge_drop, use_attn_dst=self.use_attn_dst,
-                          residual=True, use_symmetric_norm=self.use_symmetric_norm)
+                          residual=True, use_symmetric_norm=self.use_symmetric_norm,
+                          compute_dtype=self.compute_dtype)
 
     def init(self, key):
         k0, k1 = jax.random.split(key)
@@ -94,6 +96,7 @@ class RevGATConfig:
     edge_drop: float = 0.3
     use_attn_dst: bool = False
     use_symmetric_norm: bool = True
+    compute_dtype: str = "float32"
 
 
 class RevGAT(Module):
@@ -105,15 +108,18 @@ class RevGAT(Module):
         self._first = SymGATConv(c.in_feats, c.n_hidden, c.n_heads,
                                  edge_drop=c.edge_drop, use_attn_dst=c.use_attn_dst,
                                  residual=True,
-                                 use_symmetric_norm=c.use_symmetric_norm)
+                                 use_symmetric_norm=c.use_symmetric_norm,
+                                 compute_dtype=c.compute_dtype)
         self._mid_block = RevGATBlock(
             hid // c.group, c.n_hidden // c.group, c.n_heads,
             edge_drop=c.edge_drop, use_attn_dst=c.use_attn_dst,
-            use_symmetric_norm=c.use_symmetric_norm)
+            use_symmetric_norm=c.use_symmetric_norm,
+            compute_dtype=c.compute_dtype)
         self._coupling = GroupAdditiveCoupling(self._mid_block, group=c.group)
         self._last = SymGATConv(hid, c.n_classes, 1, edge_drop=c.edge_drop,
                                 use_attn_dst=c.use_attn_dst, residual=True,
-                                use_symmetric_norm=c.use_symmetric_norm)
+                                use_symmetric_norm=c.use_symmetric_norm,
+                                compute_dtype=c.compute_dtype)
 
     def init(self, key):
         c = self.cfg

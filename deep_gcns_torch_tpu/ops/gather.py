@@ -56,3 +56,38 @@ def gather_src_auto(x: Array, g) -> Array:
                            g.num_nodes_padded)):
         return gather_src(x, g.senders, g.csc_perm, g.csc_senders, g.csc_col_ptr)
     return jnp.take(x, jnp.minimum(g.senders, x.shape[0] - 1), axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_dst(x: Array, receivers: Array, row_ptr: Array,
+               interpret: bool = False) -> Array:
+    """x[receivers] with sentinel clamp.  Receivers are sorted (graph invariant),
+    so the VJP's scatter-add is directly the fused CSR segment-sum kernel on the
+    cotangents — no permute at all (unlike the sender-side gather)."""
+    return jnp.take(x, jnp.minimum(receivers, x.shape[0] - 1), axis=0)
+
+
+def _dst_fwd(x, receivers, row_ptr, interpret):
+    out = jnp.take(x, jnp.minimum(receivers, x.shape[0] - 1), axis=0)
+    return out, (receivers, row_ptr)
+
+
+def _dst_bwd(interpret, res, g):
+    receivers, row_ptr = res
+    dx = segment_sum_csr(g, receivers, row_ptr, interpret)
+    return dx, None, None
+
+
+gather_dst.defvjp(_dst_fwd, _dst_bwd)
+
+
+def gather_dst_auto(x: Array, g) -> Array:
+    """Use the CSR-kernel backward when aligned on TPU; plain take otherwise."""
+    from .segment import _pallas_ok
+
+    if (g.row_ptr is not None
+            and _pallas_ok("sum", g.row_ptr, g.receivers[:, None]
+                           if g.receivers.ndim == 1 else g.receivers,
+                           g.num_nodes_padded)):
+        return gather_dst(x, g.receivers, g.row_ptr)
+    return jnp.take(x, jnp.minimum(g.receivers, x.shape[0] - 1), axis=0)

@@ -35,11 +35,39 @@ def _mask2d(mask: Optional[Array], like: Array) -> Optional[Array]:
     return mask.reshape((-1,) + (1,) * (like.ndim - 1))
 
 
+def _sum_pallas_ok(data, num_segments: int, row_ptr) -> bool:
+    """Route plain sums to the pipelined Pallas CSR kernel when legal and the
+    lane padding is worth it (any flat width ≥ 32; the XLA scatter path loses
+    even with padding because its backward is a serial scatter)."""
+    if row_ptr is None:
+        return False
+    from . import spmm_pallas as sp
+    c = 1
+    for d in data.shape[1:]:
+        c *= d
+    cp = -(-c // 128) * 128
+    if c < 32 or (cp > 128 and cp > 2 * c):
+        return False
+    if data.shape[0] % sp.CHUNK or num_segments % sp.BN:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def segment_sum(data: Array, segment_ids: Array, num_segments: int,
-                mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+                mask: Optional[Array] = None, indices_are_sorted: bool = True,
+                row_ptr: Optional[Array] = None) -> Array:
     m = _mask2d(mask, data)
     if m is not None:
         data = jnp.where(m, data, 0)
+    if _sum_pallas_ok(data, num_segments, row_ptr):
+        from . import spmm_pallas as sp
+
+        flat = data.reshape(data.shape[0], -1)
+        out = sp.segment_sum_csr(flat, segment_ids, row_ptr)  # pads lanes itself
+        return out.reshape((num_segments,) + data.shape[1:])
     return jax.ops.segment_sum(data, segment_ids, num_segments,
                                indices_are_sorted=indices_are_sorted)
 
@@ -56,8 +84,10 @@ def segment_degree(segment_ids: Array, num_segments: int,
 
 
 def segment_mean(data: Array, segment_ids: Array, num_segments: int,
-                 mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
-    s = segment_sum(data, segment_ids, num_segments, mask, indices_are_sorted)
+                 mask: Optional[Array] = None, indices_are_sorted: bool = True,
+                 row_ptr: Optional[Array] = None) -> Array:
+    s = segment_sum(data, segment_ids, num_segments, mask, indices_are_sorted,
+                    row_ptr=row_ptr)
     cnt = segment_degree(segment_ids, num_segments, mask, indices_are_sorted, s.dtype)
     cnt = cnt.reshape((-1,) + (1,) * (s.ndim - 1))
     return s / jnp.maximum(cnt, 1)
@@ -86,10 +116,15 @@ def segment_min(data: Array, segment_ids: Array, num_segments: int,
 
 
 def scatter(name: str, data: Array, segment_ids: Array, num_segments: int,
-            mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
+            mask: Optional[Array] = None, indices_are_sorted: bool = True,
+            row_ptr: Optional[Array] = None) -> Array:
     """Named dispatch mirroring `utils/pyg_util.py:4-35` (`scatter_`)."""
     name = {"add": "sum"}.get(name, name)
-    fns = {"sum": segment_sum, "mean": segment_mean, "max": segment_max, "min": segment_min}
+    if name in ("sum", "mean"):
+        fn = segment_sum if name == "sum" else segment_mean
+        return fn(data, segment_ids, num_segments, mask, indices_are_sorted,
+                  row_ptr=row_ptr)
+    fns = {"max": segment_max, "min": segment_min}
     return fns[name](data, segment_ids, num_segments, mask, indices_are_sorted)
 
 

@@ -58,8 +58,15 @@ Array = jax.Array
 
 BN = 128        # node rows per block
 CHUNK = 512     # edges per tile
-NBUF = 6        # VMEM tile slots (persistent across grid steps)
-LOOKAHEAD = 4   # tiles prefetched ahead of consumption (< NBUF - 1)
+NBUF = 6        # default VMEM tile slots (persistent across grid steps)
+VMEM_STREAM_BUDGET = 6 * 1024 * 1024  # bytes for stream slots (of ~16MB VMEM)
+
+
+def _pick_nbuf(specs) -> int:
+    """Tile slots per stream array, shrunk for wide packed tables so the scratch
+    stays inside the scoped-VMEM limit (lookahead = nbuf - 2 shrinks with it)."""
+    slot = sum(CHUNK * w * jnp.dtype(dt).itemsize for w, dt in specs) + CHUNK * 4
+    return max(3, min(NBUF, VMEM_STREAM_BUDGET // max(slot, 1)))
 
 
 def _dot(a, b):
@@ -97,8 +104,10 @@ def _pad_lanes(msgs):
 # ---------------------------------------------------------------------------
 
 def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
-                        smem, sems, init_carry, *, n_pad, on_first_wait=None,
-                        before_issue=None, finalize=None):
+                        smem, sems, init_carry, *, n_pad,
+                        on_first_wait=None, before_issue=None, finalize=None):
+    nbuf = scratch_bufs[0].shape[0]  # slot count set by _stream_scratch
+    lookahead = nbuf - 2
     """Shared pipelined skeleton: iterate this block's chunk range over the global
     edge-tile stream, prefetching LOOKAHEAD ahead and reusing straddling tiles.
 
@@ -116,7 +125,7 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
     _ids_flags = [r.shape[0] == 1 for r in edge_hbm_refs]
 
     def _issue(k):
-        slot = k % NBUF
+        slot = k % nbuf
         off = k * CHUNK
         if before_issue is not None:
             before_issue(k)  # e.g. drain a pending write-back from this slot
@@ -130,7 +139,7 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
                                       sem.at[slot]).start()
 
     def _wait(k):
-        slot = k % NBUF
+        slot = k % nbuf
         off = k * CHUNK
         for ref, buf, sem, is_ids in zip(edge_hbm_refs, scratch_bufs, sems,
                                          _ids_flags):
@@ -157,7 +166,7 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
                     smem[0] = j + 1
                 return 0
 
-            jax.lax.fori_loop(0, LOOKAHEAD + 1, warm, 0)
+            jax.lax.fori_loop(0, lookahead + 1, warm, 0)
 
     c0 = start // CHUNK
     nchunks = jnp.where(end > start, ((end - 1) // CHUNK) - c0 + 1, 0)
@@ -165,11 +174,11 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
     def body(j, carry):
         k = c0 + j
         # guarded prefetch (consumption cursor advances ≤1/step, 2 attempts keep
-        # the invariant next_fetch ≥ min(k + LOOKAHEAD, last) + 1)
+        # the invariant next_fetch ≥ min(k + lookahead, last) + 1)
         for _ in range(2):
             nf = smem[0]
 
-            @pl.when((nf <= k + LOOKAHEAD) & (nf <= last))
+            @pl.when((nf <= k + lookahead) & (nf <= last))
             def _():
                 _issue(nf)
                 smem[0] = nf + 1
@@ -183,7 +192,7 @@ def _edge_stream_kernel(compute_chunk, row_ptr, edge_hbm_refs, scratch_bufs,
                 on_first_wait(k)  # e.g. flush chunk k-1, zero chunk k's write buf
             smem[1] = k + 1
 
-        return compute_chunk(k % NBUF, base, carry)
+        return compute_chunk(k % nbuf, base, carry)
 
     out = jax.lax.fori_loop(0, nchunks, body, init_carry)
     if finalize is not None:
@@ -197,13 +206,15 @@ def _row_ids(base):
     return jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0) + base
 
 
-def _stream_scratch(specs, smem_extra=0):
-    """Scratch shapes for the skeleton: one [NBUF, CHUNK, width] buffer per
-    (width, dtype) edge-data spec, one [NBUF, 1, CHUNK] id buffer, SMEM cursors
+def _stream_scratch(specs, smem_extra=0, nbuf=None):
+    """Scratch shapes for the skeleton: one [nbuf, CHUNK, width] buffer per
+    (width, dtype) edge-data spec, one [nbuf, 1, CHUNK] id buffer, SMEM cursors
     (+ smem_extra caller slots), DMA semaphores."""
-    bufs = [pltpu.VMEM((NBUF, CHUNK, w), dt) for w, dt in specs]
-    bufs.append(pltpu.VMEM((NBUF, 1, CHUNK), jnp.int32))
-    sems = [pltpu.SemaphoreType.DMA((NBUF,)) for _ in range(len(specs) + 1)]
+    if nbuf is None:
+        nbuf = _pick_nbuf(specs)
+    bufs = [pltpu.VMEM((nbuf, CHUNK, w), dt) for w, dt in specs]
+    bufs.append(pltpu.VMEM((nbuf, 1, CHUNK), jnp.int32))
+    sems = [pltpu.SemaphoreType.DMA((nbuf,)) for _ in range(len(specs) + 1)]
     return bufs + [pltpu.SMEM((2 + smem_extra,), jnp.int32)] + sems
 
 
@@ -451,7 +462,7 @@ def _softmax_bwd_csc_kernel(col_ptr, t_smem, *refs, n_pad, c, eps, grad_weights,
     WP = 2  # smem offset of the per-slot write-pending flags
 
     def _dee_flush(k):
-        slot = k % NBUF
+        slot = k % dee_buf.shape[0]
         pltpu.make_async_copy(dee_buf.at[slot],
                               dee_hbm.at[pl.ds(k * CHUNK, CHUNK), :],
                               wsem.at[slot]).start()
@@ -470,10 +481,10 @@ def _softmax_bwd_csc_kernel(col_ptr, t_smem, *refs, n_pad, c, eps, grad_weights,
         @pl.when(k >= 1)
         def _():
             _dee_flush(k - 1)
-        dee_buf[k % NBUF] = jnp.zeros((CHUNK, c), dee_buf.dtype)
+        dee_buf[k % dee_buf.shape[0]] = jnp.zeros((CHUNK, c), dee_buf.dtype)
 
     def before_issue(k):
-        _dee_drain(k % NBUF)
+        _dee_drain(k % dee_buf.shape[0])
 
     def finalize():
         wu = smem[1]
@@ -481,7 +492,7 @@ def _softmax_bwd_csc_kernel(col_ptr, t_smem, *refs, n_pad, c, eps, grad_weights,
         @pl.when(wu > 0)
         def _():
             _dee_flush(wu - 1)
-        for s in range(NBUF):
+        for s in range(dee_buf.shape[0]):
             _dee_drain(s)
 
     def compute(slot, base, carry):
@@ -558,12 +569,15 @@ def _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr, cmax8, interpret,
         jax.ShapeDtypeStruct((n_pad // BN * 8, 128), jnp.float32),
     ]
     buf_specs = [(qg.shape[1], qdt)] + ([(c, ee_csc.dtype)] if has_ee else [])
-    scratch = _stream_scratch(buf_specs, smem_extra=NBUF if has_ee else 0)
+    # the dee write-back buffer shares the stream's slot rotation — same count
+    nbuf = _pick_nbuf(buf_specs + ([(c, ee_csc.dtype)] if has_ee else []))
+    scratch = _stream_scratch(buf_specs, smem_extra=nbuf if has_ee else 0,
+                              nbuf=nbuf)
     if has_ee:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((e_pad, c), ee_csc.dtype))
-        scratch += [pltpu.VMEM((NBUF, CHUNK, c), ee_csc.dtype),
-                    pltpu.SemaphoreType.DMA((NBUF,))]
+        scratch += [pltpu.VMEM((nbuf, CHUNK, c), ee_csc.dtype),
+                    pltpu.SemaphoreType.DMA((nbuf,))]
 
     res = pl.pallas_call(
         kernel,
@@ -700,3 +714,194 @@ def fused_softmax_gather_agg_auto(x, senders, receivers, row_ptr, csc_senders,
                                    csc_receivers, csc_col_ptr, t, ee, ee_csc,
                                    eps, grad_weights, interpret)
     return out[:, :c] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# fused GAT attention + SpMM (DGL edge_softmax + u_mul_e sum, attn-dst-free)
+# ---------------------------------------------------------------------------
+#
+# RevGAT's headline config (`ogb_eff/ogbn_arxiv_dgl/main.py:358,440` no_attn_dst)
+# scores every edge from its SOURCE only: s_e = leaky_relu(el[send_e]).  That makes
+# the whole layer one packed-table problem: T = [feat_src | el] is gathered once by
+# senders; the CSR forward computes e = exp(s - cmax), the per-head weighted
+# payload, and both one-hot dots, emitting agg = [num | den] in the same packed
+# layout; the CSC backward reconstructs T_e from contiguous sender blocks and emits
+# dT packed.  Renormalizing edge-drop (`model_rev.py:154-176` semantics) costs
+# nothing in-kernel: dropped edges get sentinel receiver ids (excluded from num AND
+# den), and the backward zeroes their gathered cotangents.
+
+
+def _head_expand(e, h, hd):
+    """[CHUNK, H] → [CHUNK, HD]: repeat each head's scalar across its payload
+    block (lane broadcasts — exact, no MXU)."""
+    d = hd // h
+    return jnp.concatenate(
+        [jnp.broadcast_to(e[:, k:k + 1], (e.shape[0], d)) for k in range(h)],
+        axis=1)
+
+
+def _head_reduce(x, h, hd):
+    """[CHUNK, HD] → [CHUNK, H]: sum each head's payload block (lane reductions)."""
+    d = hd // h
+    return jnp.concatenate(
+        [jnp.sum(x[:, k * d:(k + 1) * d], axis=1, keepdims=True)
+         for k in range(h)], axis=1)
+
+
+def _gat_fwd_kernel(row_ptr, t_hbm, recv_hbm, cmax_ref, out_ref,
+                    t_buf, r_buf, smem, sem_t, sem_r, *, n_pad, pp, hd, h,
+                    neg_slope):
+    cmax = cmax_ref[0:1, :h]
+    cd = t_hbm.dtype
+
+    def compute(slot, base, acc):
+        onehot_t = (r_buf[slot] == _row_ids(base)).astype(cd)
+        te = t_buf[slot].astype(jnp.float32)     # [CHUNK, Pp]
+        el = te[:, hd:hd + h]
+        s = jnp.where(el >= 0, el, neg_slope * el)
+        e = jnp.exp(s - cmax)                    # ≤ 1
+        e_w = _head_expand(e, h, hd)             # [CHUNK, HD]
+        rhs = jnp.concatenate(
+            [e_w * te[:, :hd], e, jnp.zeros((CHUNK, pp - hd - h), jnp.float32)],
+            axis=1).astype(cd)
+        return acc + _dot(onehot_t, rhs)
+
+    acc = _edge_stream_kernel(
+        compute, row_ptr, [t_hbm, recv_hbm], [t_buf, r_buf], smem,
+        [sem_t, sem_r], jnp.zeros((BN, pp), jnp.float32), n_pad=n_pad)
+    out_ref[:, :] = acc.astype(out_ref.dtype)
+
+
+def _gat_bwd_kernel(col_ptr, qg_hbm, send_hbm, x_ref, cmax_ref, dt_ref,
+                    q_buf, s_buf, smem, sem_q, sem_s, *, n_pad, pp, hd, h,
+                    neg_slope):
+    cmax = cmax_ref[0:1, :h]
+    cd = qg_hbm.dtype
+    t_blk = x_ref[:, :]
+
+    def compute(slot, base, acc):
+        onehot_t = (s_buf[slot] == _row_ids(base)).astype(cd)
+        te = _dot_t(onehot_t, t_blk)             # [CHUNK, Pp] f32
+        msg, el = te[:, :hd], te[:, hd:hd + h]
+        s = jnp.where(el >= 0, el, neg_slope * el)
+        e = jnp.exp(s - cmax)
+        qg = q_buf[slot].astype(jnp.float32)     # keep-zeroed [ĝnum | ĝden]
+        gnum, gden = qg[:, :hd], qg[:, hd:hd + h]
+        per_head = _head_reduce(msg * gnum, h, hd)  # [CHUNK, H]
+        de = per_head + gden
+        del_ = de * e * jnp.where(el >= 0, 1.0, neg_slope)
+        dmsg = _head_expand(e, h, hd) * gnum
+        contrib = jnp.concatenate(
+            [dmsg, del_, jnp.zeros((CHUNK, pp - hd - h), jnp.float32)],
+            axis=1).astype(cd)
+        return acc + _dot(onehot_t, contrib)
+
+    acc = _edge_stream_kernel(
+        compute, col_ptr, [qg_hbm, send_hbm], [q_buf, s_buf], smem,
+        [sem_q, sem_s], jnp.zeros((BN, pp), jnp.float32), n_pad=n_pad)
+    dt_ref[:, :] = acc.astype(dt_ref.dtype)
+
+
+def _gat_cmax(T, hd, h):
+    el_max = jnp.max(T[:, hd:hd + h].astype(jnp.float32), axis=0)
+    s_max = jnp.where(el_max >= 0, el_max, 0.0)  # include sentinel rows (el=0)
+    return jax.lax.stop_gradient(s_max)
+
+
+def _gat_call(T, recv_row, row_ptr, cmax8, hd, h, neg_slope, interpret):
+    e_pad = recv_row.shape[1]
+    pp = T.shape[1]
+    n_pad = row_ptr.shape[0] - 1
+    assert e_pad % CHUNK == 0 and n_pad % BN == 0 and pp % 128 == 0
+    kernel = functools.partial(_gat_fwd_kernel, n_pad=n_pad, pp=pp, hd=hd, h=h,
+                               neg_slope=neg_slope)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pad // BN,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BN, pp), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=_stream_scratch([(pp, T.dtype)]),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, pp), T.dtype),
+        interpret=interpret,
+    )(row_ptr, T, recv_row, cmax8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def gat_softmax_spmm(T: Array, senders: Array, receivers_eff: Array,
+                     row_ptr: Array, csc_senders: Array, csc_receivers: Array,
+                     csc_col_ptr: Array, keep_csc: Array | None,
+                     hd: int = 0, h: int = 1, neg_slope: float = 0.2,
+                     interpret: bool = False) -> Array:
+    """agg[n] = [ Σ_e e_{e,h}·msg_{e,h,d} | Σ_e e_{e,h} ] over edges into n, with
+    e = exp(leaky_relu(el[send_e]) − cmax) per head; T packed [msg(HD) | el(H) | 0].
+
+    Edge-drop: pre-fold into receivers_eff (dropped → sentinel) and pass the
+    matching keep flags in CSC order (zeroes the backward's gathered cotangents).
+    Normalization (num/den, self terms) happens outside in node space.
+    """
+    out, _ = _gat_fwd(T, senders, receivers_eff, row_ptr, csc_senders,
+                      csc_receivers, csc_col_ptr, keep_csc, hd, h, neg_slope,
+                      interpret)
+    return out
+
+
+def _gat_fwd(T, senders, receivers_eff, row_ptr, csc_senders, csc_receivers,
+             csc_col_ptr, keep_csc, hd, h, neg_slope, interpret):
+    e_pad = receivers_eff.shape[0]
+    n_pad = row_ptr.shape[0] - 1
+    cmax = _gat_cmax(T, hd, h)
+    cmax8 = jnp.zeros((8, 128), jnp.float32).at[:, :h].set(
+        jnp.broadcast_to(cmax[None, :], (8, h)))
+    tj = jnp.take(T, jnp.minimum(senders, n_pad - 1), axis=0)
+    out = _gat_call(tj, receivers_eff.reshape(1, e_pad), row_ptr, cmax8, hd, h,
+                    neg_slope, interpret)
+    return out, (T, csc_senders, csc_receivers, csc_col_ptr, keep_csc, cmax8)
+
+
+def _gat_bwd(hd, h, neg_slope, interpret, res, g):
+    T, csc_senders, csc_receivers, csc_col_ptr, keep_csc, cmax8 = res
+    n_pad = csc_col_ptr.shape[0] - 1
+    pp = T.shape[1]
+    e_pad = csc_senders.shape[0]
+    r_safe = jnp.minimum(csc_receivers, n_pad - 1)
+    qg = jnp.take(g.astype(T.dtype), r_safe, axis=0)
+    if keep_csc is not None:
+        qg = jnp.where((keep_csc > 0)[:, None], qg, 0)
+    kernel = functools.partial(_gat_bwd_kernel, n_pad=n_pad, pp=pp, hd=hd, h=h,
+                               neg_slope=neg_slope)
+    dT = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pad // BN,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((BN, pp), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BN, pp), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=_stream_scratch([(pp, T.dtype)]),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, pp), T.dtype),
+        interpret=interpret,
+    )(csc_col_ptr, qg, csc_senders.reshape(1, e_pad), T, cmax8)
+    return dT, None, None, None, None, None, None, None
+
+
+gat_softmax_spmm.defvjp(
+    lambda T, s, r, rp, cs, cr, cp, k, hd, h, ns, it: _gat_fwd(
+        T, s, r, rp, cs, cr, cp, k, hd, h, ns, it),
+    _gat_bwd)

@@ -24,6 +24,9 @@ def get_args():
     p.add_argument("--input_drop", type=float, default=0.25)
     p.add_argument("--edge_drop", type=float, default=0.3)
     p.add_argument("--use_attn_dst", action="store_true", default=False)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 halves the fused attention kernels' HBM traffic")
     p.add_argument("--no_norm_adj", action="store_true",
                    help="disable symmetric norm")
     p.add_argument("--use_labels", action="store_true", default=True)
@@ -92,7 +95,8 @@ def main():
         n_hidden=args.n_hidden, n_layers=args.n_layers, n_heads=args.n_heads,
         group=args.group, dropout=args.dropout, input_drop=args.input_drop,
         edge_drop=args.edge_drop, use_attn_dst=args.use_attn_dst,
-        use_symmetric_norm=not args.no_norm_adj)
+        use_symmetric_norm=not args.no_norm_adj,
+        compute_dtype=getattr(args, "compute_dtype", "float32"))
     model = RevGAT(cfg)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
 

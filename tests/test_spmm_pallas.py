@@ -214,3 +214,62 @@ def test_fused_softmax_with_edge_emb(rng_np, grad_weights):
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=5e-4, atol=1e-4)
     np.testing.assert_allclose(float(gt1), float(gt2), rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_drop", [False, True])
+def test_gat_softmax_spmm(rng_np, with_drop):
+    """Fused GAT attention+SpMM vs the XLA chain (attn-dst-free, renormalizing
+    edge drop via sentinel receivers)."""
+    n, e, H, D = 300, 2000, 3, 41   # packed width 3*41+3=126 -> pad 128
+    x, s, r = random_graph(rng_np, n, e, H * D)
+    g = build_graph(x, s, r, node_pad=384, edge_pad=2560)
+    n_pad = g.num_nodes_padded
+    feat = jnp.asarray(rng_np.standard_normal((n_pad, H, D)), jnp.float32)
+    attn = jnp.asarray(rng_np.standard_normal((H, D)) * 0.3, jnp.float32)
+    keep = None
+    if with_drop:
+        keep = jnp.asarray((rng_np.random(g.num_edges_padded) > 0.3)
+                           .astype(np.float32))
+
+    def f_pallas(feat, attn):
+        el = jnp.einsum("nhd,hd->nh", feat, attn)
+        T = jnp.concatenate([feat.reshape(n_pad, H * D), el], axis=1)
+        T = jnp.pad(T, ((0, 0), (0, 128 - H * D - H)))
+        att_mask = jnp.asarray(g.edge_mask)
+        if keep is not None:
+            att_mask = att_mask & (keep > 0)
+        recv_eff = jnp.where(att_mask, jnp.asarray(g.receivers), n_pad)
+        keep_csc = None if keep is None else jnp.take(keep, jnp.asarray(g.csc_perm))
+        agg = sp.gat_softmax_spmm(T, jnp.asarray(g.senders), recv_eff,
+                                  jnp.asarray(g.row_ptr), jnp.asarray(g.csc_senders),
+                                  jnp.asarray(g.csc_receivers),
+                                  jnp.asarray(g.csc_col_ptr), keep_csc,
+                                  H * D, H, 0.2, True)
+        num = agg[:, :H * D].reshape(n_pad, H, D)
+        den = agg[:, H * D:H * D + H]
+        out = jnp.where((den > 0)[..., None],
+                        num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+        return jnp.sum(out ** 2)
+
+    def f_xla(feat, attn):
+        el = jnp.einsum("nhd,hd->nh", feat, attn)
+        score = jax.nn.leaky_relu(
+            jnp.take(el, jnp.minimum(jnp.asarray(g.senders), n_pad - 1), axis=0), 0.2)
+        att_mask = jnp.asarray(g.edge_mask)
+        if keep is not None:
+            att_mask = att_mask & (keep > 0)
+        alpha = seg.segment_softmax(score, jnp.asarray(g.receivers), n_pad,
+                                    mask=att_mask)
+        msg = jnp.take(feat.reshape(n_pad, H * D),
+                       jnp.minimum(jnp.asarray(g.senders), n_pad - 1),
+                       axis=0).reshape(-1, H, D)
+        out = seg.segment_sum(msg * alpha[..., None], jnp.asarray(g.receivers),
+                              n_pad, mask=att_mask)
+        return jnp.sum(out ** 2)
+
+    v1, v2 = f_pallas(feat, attn), f_xla(feat, attn)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    g1f, g1a = jax.grad(f_pallas, argnums=(0, 1))(feat, attn)
+    g2f, g2a = jax.grad(f_xla, argnums=(0, 1))(feat, attn)
+    np.testing.assert_allclose(np.asarray(g1f), np.asarray(g2f), rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1a), np.asarray(g2a), rtol=5e-4, atol=1e-4)
