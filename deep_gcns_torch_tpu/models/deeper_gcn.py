@@ -201,6 +201,22 @@ class DeeperGCN(Module):
                                        self._slice(state["gcns"], 0),
                                        h, g, edge_emb, train, layer_rng(0), axis_name)
 
+            def prologue(np_, ns_, h, r):
+                # norm → relu → dropout (`model.py:90-94`). Checkpointed at train
+                # time: without it, relu and dropout each store a pred mask
+                # (4 bytes/elem on TPU — 87MB/layer at arxiv scale) plus f32
+                # intermediates across the scan; recomputing the prologue in the
+                # backward costs two cheap elementwise passes instead.
+                h1, ns_out = self._norm.apply(np_, ns_, h, train=train, mask=nmask,
+                                              axis_name=axis_name)
+                h2 = jax.nn.relu(h1)
+                h2 = dropout(h2, drop, train=train,
+                             rng=None if r is None else jax.random.fold_in(r, 1))
+                return h2, ns_out
+
+            if train:
+                prologue = jax.checkpoint(prologue)
+
             def body(carry, inp):
                 h, vn = carry
                 i = inp  # layer index 1..L-1
@@ -209,11 +225,7 @@ class DeeperGCN(Module):
                 gp_ = self._slice(params["gcns"], i)
                 gss = self._slice(state["gcns"], i)
                 r = layer_rng(i)
-                h1, ns_out = self._norm.apply(np_, ns_, h, train=train, mask=nmask,
-                                              axis_name=axis_name)
-                h2 = jax.nn.relu(h1)
-                h2 = dropout(h2, drop, train=train,
-                             rng=None if r is None else jax.random.fold_in(r, 1))
+                h2, ns_out = prologue(np_, ns_, h, r)
                 vn_out = vn
                 aux = ()
                 if vn is not None:
@@ -263,6 +275,20 @@ class DeeperGCN(Module):
                 new_state["vn_mlps"] = vn_states
 
         elif c.block in ("res", "plain"):
+            def epilogue(np_, ns_, h1, h, r):
+                # norm → relu → (+res) → dropout (`model.py:111-130`); checkpointed
+                # at train time for the same pred-mask-residual reason as res+.
+                h2, ns_out = self._norm.apply(np_, ns_, h1, train=train, mask=nmask,
+                                              axis_name=axis_name)
+                h3 = jax.nn.relu(h2)
+                h_out = h3 + h if c.block == "res" else h3
+                h_out = dropout(h_out, drop, train=train,
+                                rng=None if r is None else jax.random.fold_in(r, 1))
+                return h_out, ns_out
+
+            if train:
+                epilogue = jax.checkpoint(epilogue)
+
             def body(carry, inp):
                 h = carry
                 i = inp
@@ -273,15 +299,7 @@ class DeeperGCN(Module):
                 r = layer_rng(i)
                 h1, gs_out = self._apply_layer(gp_, gss, h, g, edge_emb, train, r,
                                                axis_name)
-                h2, ns_out = self._norm.apply(np_, ns_, h1, train=train, mask=nmask,
-                                              axis_name=axis_name)
-                h3 = jax.nn.relu(h2)
-                if c.block == "res":
-                    h_out = h3 + h
-                else:
-                    h_out = h3
-                h_out = dropout(h_out, drop, train=train,
-                                rng=None if r is None else jax.random.fold_in(r, 1))
+                h_out, ns_out = epilogue(np_, ns_, h1, h, r)
                 return h_out, (ns_out, gs_out)
 
             body_fn = jax.checkpoint(body) if c.remat else body

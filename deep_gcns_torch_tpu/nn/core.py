@@ -27,6 +27,7 @@ Initialization matches torch defaults so that accuracy parity holds:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
@@ -90,6 +91,27 @@ class Identity(Module):
 # dropout
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _dropout_rng(x, rate: float, rng):
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+def _dropout_fwd(x, rate, rng):
+    # Save ONLY the key: a stored keep-mask is a pred array (4 bytes/elem on TPU
+    # — an 87MB residual per layer at arxiv scale), while regenerating it from
+    # the key in the backward costs ~0.05ms of VPU. Deterministic by construction.
+    return _dropout_rng(x, rate, rng), rng
+
+
+def _dropout_bwd(rate, rng, g):
+    keep = jax.random.bernoulli(rng, 1.0 - rate, g.shape)
+    return jnp.where(keep, g / (1.0 - rate), 0), None
+
+
+_dropout_rng.defvjp(_dropout_fwd, _dropout_bwd)
+
+
 def dropout(x: Array, rate: float, *, train: bool, rng: Optional[Array],
             mask: Optional[Array] = None) -> Array:
     """Inverted dropout (torch F.dropout semantics). `mask` overrides sampling with a
@@ -100,8 +122,7 @@ def dropout(x: Array, rate: float, *, train: bool, rng: Optional[Array],
     if not train or rate <= 0.0:
         return x
     assert rng is not None, "dropout needs an rng key at train time"
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0)
+    return _dropout_rng(x, rate, rng)
 
 
 def shared_dropout_mask(rng: Array, shape, rate: float, dtype=jnp.float32) -> Array:
@@ -130,8 +151,16 @@ class Linear(Module):
             p["b"] = jax.random.uniform(kb, (self.out_dim,), jnp.float32, -bound, bound)
         return p, {}
 
-    def apply(self, params, state, x, **kw):
-        y = x @ params["w"]
+    def apply(self, params, state, x, *, compute_dtype=None, **kw):
+        w = params["w"]
+        if compute_dtype is not None:
+            # bf16 matmul with f32 accumulation on the MXU; params stay f32
+            # (master weights), bias added in f32.
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+            y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        else:
+            y = x @ w
         if self.bias:
             y = y + params["b"]
         return y, state
@@ -220,15 +249,21 @@ class BatchNorm(Module):
     def apply(self, params, state, x, *, train: bool = False,
               mask: Optional[Array] = None, axis_name: Optional[str] = None, **kw):
         if train:
+            # one-pass moments (E[x²] − E[x]²): both reductions read x once and
+            # have no sequential dependency — the (x − mu)² form costs a second
+            # full HBM pass over [N, C] per layer. f32 cancellation error is
+            # ~mu²·1e-7, negligible for normalized residual streams.
             if mask is not None:
                 m = mask[:, None].astype(x.dtype)
+                xm = x * m
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mu = jnp.sum(x * m, axis=0) / cnt
-                var = jnp.sum(jnp.square(x - mu) * m, axis=0) / cnt
+                mu = jnp.sum(xm, axis=0) / cnt
+                ex2 = jnp.sum(xm * x, axis=0) / cnt
             else:
                 cnt = jnp.asarray(x.shape[0], x.dtype)
                 mu = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mu), axis=0)
+                ex2 = jnp.mean(x * x, axis=0)
+            var = jnp.maximum(ex2 - jnp.square(mu), 0.0)
             if axis_name is not None:
                 # cross-replica moments: E[x²] - E[x]² (assumes equal per-replica counts)
                 ex2 = jax.lax.pmean(var + jnp.square(mu), axis_name)
@@ -332,12 +367,13 @@ class MLP(Module):
         return params, state
 
     def apply(self, params, state, x, *, train: bool = False, rng: Optional[Array] = None,
-              mask: Optional[Array] = None, axis_name: Optional[str] = None, **kw):
+              mask: Optional[Array] = None, axis_name: Optional[str] = None,
+              compute_dtype=None, **kw):
         if not state:
             state = [{} for _ in self._layers()]
         new_state = []
         for i, (lin, norm, post) in enumerate(self._layers()):
-            x, _ = lin.apply(params[i]["lin"], {}, x)
+            x, _ = lin.apply(params[i]["lin"], {}, x, compute_dtype=compute_dtype)
             sentry = {}
             if post:
                 if norm is not None:

@@ -351,7 +351,11 @@ def _softmax_agg_pallas(msgs, recv_row, row_ptr, t_arr, cmax8, interpret,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
-            jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+            # den follows the message dtype: an f32 den residual costs an extra
+            # 87MB/layer of stacked-scan HBM traffic at arxiv scale; bf16 den
+            # perturbs each node's incoming-edge gradients by ≤0.4% (uniform
+            # per-node scale), f32 inputs keep the exact f32 den.
+            jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
         ),
         interpret=interpret,
     )(row_ptr, t_arr, *edge_inputs, cmax8)
@@ -389,7 +393,10 @@ def gen_softmax_aggregate_csr(msgs: Array, receivers: Array, row_ptr: Array,
 
 def _softmax_fwd(msgs, receivers, row_ptr, t, grad_weights, interpret):
     out, den, cmax = _softmax_agg_call(msgs, receivers, row_ptr, t, interpret)
-    return out, (msgs, receivers, t, out, den, cmax)
+    # `out` is only consumed by the grad_weights branch of the backward; keeping
+    # it in the residuals unconditionally stacks a dead [L, N, C] array across
+    # lax.scan (custom_vjp residuals are opaque to DCE).
+    return out, (msgs, receivers, t, out if grad_weights else None, den, cmax)
 
 
 def _softmax_bwd(grad_weights, interpret, res, g):
@@ -400,7 +407,7 @@ def _softmax_bwd(grad_weights, interpret, res, g):
     t_f = jnp.asarray(t, jnp.float32)
     t_s = t_f.reshape(()) if t_f.ndim else t_f
     m = msgs.astype(jnp.float32)
-    den_e = jnp.take(den, r_safe, axis=0)
+    den_e = jnp.take(den, r_safe, axis=0).astype(jnp.float32)
     w = jnp.exp(m * t_s - cmax[None, :]) / jnp.where(den_e > 0, den_e, 1.0)
     w = jnp.where(valid, w, 0.0)
     g_e = jnp.take(g.astype(jnp.float32), r_safe, axis=0)
@@ -660,8 +667,11 @@ def _fused_fwd(x, senders, receivers, row_ptr, csc_senders, csc_receivers,
                csc_col_ptr, t, ee, ee_csc, eps, grad_weights, interpret):
     out, den, cmax = _fused_fwd_call(x, senders, receivers, row_ptr, t, ee, eps,
                                      interpret)
-    return out, (x, csc_senders, csc_receivers, csc_col_ptr, t, ee_csc, out, den,
-                 cmax)
+    # drop `out` from the residuals unless the backward's grad_weights branch
+    # needs it — custom_vjp residuals are opaque to DCE, so a dead entry stacks
+    # a whole [L, N, C] array across lax.scan.
+    return out, (x, csc_senders, csc_receivers, csc_col_ptr, t, ee_csc,
+                 out if grad_weights else None, den, cmax)
 
 
 def _fused_bwd(eps, grad_weights, interpret, res, g):
@@ -671,6 +681,7 @@ def _fused_bwd(eps, grad_weights, interpret, res, g):
     t_arr = jnp.asarray(t, jnp.float32).reshape(1)
     cmax8 = jnp.broadcast_to(cmax[None, :], (8, c))
     # node-space cotangent-over-denominator; zero where a row had no (valid) edges
+    den = den.astype(jnp.float32)
     q = jnp.where(den > 0, g.astype(jnp.float32) / jnp.where(den > 0, den, 1.0), 0.0)
     if grad_weights:
         qo = jnp.concatenate([q, out.astype(jnp.float32)], axis=1)
