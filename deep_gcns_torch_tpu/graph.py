@@ -102,7 +102,7 @@ def build_graph(
     node_pad: Optional[int] = None,
     edge_pad: Optional[int] = None,
     pad_multiple: int = 256,
-    edge_pad_multiple: int = 512,
+    edge_pad_multiple: int = 1024,
     sort_edges: bool = True,
     with_row_ptr: bool = True,
     with_csc: bool = True,
@@ -111,8 +111,9 @@ def build_graph(
 
     ``node_pad``/``edge_pad`` override the default round-up bucketing (use a fixed
     bucket across steps to avoid recompilation). Defaults align with the Pallas
-    kernel tiles (ops/spmm_pallas.py: BN=256 node rows, CHUNK=512 edges) and a CSR
-    row_ptr is built by default so convs can take the fused kernel path.
+    kernel tiles (ops/spmm_pallas.py: node-row blocks and the WIDE 1024-edge
+    stream tile) and a CSR row_ptr is built by default so convs can take the
+    fused kernel path.
     """
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)

@@ -484,17 +484,20 @@ def _softmax_bwd_csc_kernel(col_ptr, t_smem, *refs, n_pad, c, eps, grad_weights,
     WP = 2  # smem offset of the per-slot write-pending flags
 
     def _dee_flush(k):
+        chunk = dee_buf.shape[1]
         slot = k % dee_buf.shape[0]
         pltpu.make_async_copy(dee_buf.at[slot],
-                              dee_hbm.at[pl.ds(k * CHUNK, CHUNK), :],
+                              dee_hbm.at[pl.ds(k * chunk, chunk), :],
                               wsem.at[slot]).start()
         smem[WP + slot] = 1
 
     def _dee_drain(slot):
+        chunk = dee_buf.shape[1]
+
         @pl.when(smem[WP + slot] == 1)
         def _():
             pltpu.make_async_copy(dee_buf.at[slot],
-                                  dee_hbm.at[pl.ds(0, CHUNK), :],
+                                  dee_hbm.at[pl.ds(0, chunk), :],
                                   wsem.at[slot]).wait()
             smem[WP + slot] = 0
 
@@ -503,7 +506,8 @@ def _softmax_bwd_csc_kernel(col_ptr, t_smem, *refs, n_pad, c, eps, grad_weights,
         @pl.when(k >= 1)
         def _():
             _dee_flush(k - 1)
-        dee_buf[k % dee_buf.shape[0]] = jnp.zeros((CHUNK, c), dee_buf.dtype)
+        dee_buf[k % dee_buf.shape[0]] = jnp.zeros((dee_buf.shape[1], c),
+                                                  dee_buf.dtype)
 
     def before_issue(k):
         _dee_drain(k % dee_buf.shape[0])
@@ -592,13 +596,15 @@ def _fused_bwd_pallas(qg, csc_senders, csc_col_ptr, x, t_arr, cmax8, interpret,
     ]
     buf_specs = [(qg.shape[1], qdt)] + ([(c, ee_csc.dtype)] if has_ee else [])
     # the dee write-back buffer shares the stream's slot rotation — same count
-    nbuf = _pick_nbuf(buf_specs + ([(c, ee_csc.dtype)] if has_ee else []))
+    all_specs = buf_specs + ([(c, ee_csc.dtype)] if has_ee else [])
+    chunk = _pick_chunk(e_pad, *all_specs)
+    nbuf = _pick_nbuf(all_specs, chunk)
     scratch = _stream_scratch(buf_specs, smem_extra=nbuf if has_ee else 0,
-                              nbuf=nbuf)
+                              nbuf=nbuf, chunk=chunk)
     if has_ee:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((e_pad, c), ee_csc.dtype))
-        scratch += [pltpu.VMEM((nbuf, CHUNK, c), ee_csc.dtype),
+        scratch += [pltpu.VMEM((nbuf, chunk, c), ee_csc.dtype),
                     pltpu.SemaphoreType.DMA((nbuf,))]
 
     res = pl.pallas_call(
@@ -788,7 +794,8 @@ def _gat_fwd_kernel(row_ptr, t_hbm, recv_hbm, cmax_ref, out_ref,
         e = jnp.exp(s - cmax)                    # ≤ 1
         e_w = _head_expand(e, h, hd)             # [CHUNK, HD]
         rhs = jnp.concatenate(
-            [e_w * te[:, :hd], e, jnp.zeros((CHUNK, pp - hd - h), jnp.float32)],
+            [e_w * te[:, :hd], e,
+             jnp.zeros((te.shape[0], pp - hd - h), jnp.float32)],
             axis=1).astype(cd)
         return acc + _dot(onehot_t, rhs)
 
@@ -818,7 +825,7 @@ def _gat_bwd_kernel(col_ptr, qg_hbm, send_hbm, x_ref, cmax_ref, dt_ref,
         del_ = de * e * jnp.where(el >= 0, 1.0, neg_slope)
         dmsg = _head_expand(e, h, hd) * gnum
         contrib = jnp.concatenate(
-            [dmsg, del_, jnp.zeros((CHUNK, pp - hd - h), jnp.float32)],
+            [dmsg, del_, jnp.zeros((te.shape[0], pp - hd - h), jnp.float32)],
             axis=1).astype(cd)
         return acc + _dot(onehot_t, contrib)
 
@@ -854,7 +861,8 @@ def _gat_call(T, recv_row, row_ptr, cmax8, hd, h, neg_slope, interpret):
             ],
             out_specs=pl.BlockSpec((BN, pp), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=_stream_scratch([(pp, T.dtype)]),
+            scratch_shapes=_stream_scratch(
+                [(pp, T.dtype)], chunk=_pick_chunk(e_pad, (pp, T.dtype))),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, pp), T.dtype),
         interpret=interpret,
@@ -919,7 +927,8 @@ def _gat_bwd(hd, h, neg_slope, interpret, res, g):
             ],
             out_specs=pl.BlockSpec((BN, pp), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=_stream_scratch([(pp, T.dtype)]),
+            scratch_shapes=_stream_scratch(
+                [(pp, T.dtype)], chunk=_pick_chunk(e_pad, (pp, T.dtype))),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, pp), T.dtype),
         interpret=interpret,

@@ -47,10 +47,12 @@ def fused_loss(x):
 
 results = []
 for bn in (64, 128, 256):
-    for chunk in (256, 512, 1024):
+    for chunk in (512, 1024, 2048):
         if g.num_edges_padded % chunk or g.num_nodes_padded % bn:
             continue
-        sp.BN, sp.CHUNK = bn, chunk
+        # CHUNK stays the route-gate alignment; CHUNK_WIDE drives _pick_chunk
+        sp.BN, sp.CHUNK_WIDE = bn, chunk
+        sp.CHUNK = min(chunk, 512)
         try:
             f = timeit(fused_fwd, x16)
             b = timeit(jax.grad(fused_loss), x16)
