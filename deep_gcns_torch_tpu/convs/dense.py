@@ -230,6 +230,7 @@ class DynConv2d(Module):
     bias: bool = True
     stochastic: bool = False
     epsilon: float = 0.0
+    knn_method: str = "exact"   # "approx" = subsample + PartialReduce (ops/knn.py)
 
     def _conv(self):
         return graph_conv2d(self.in_dim, self.out_dim, self.conv, self.act, self.norm,
@@ -244,7 +245,8 @@ class DynConv2d(Module):
             krng = None if rng is None else jax.random.fold_in(rng, 23)
             edge_index = dilated_knn_graph_dense(
                 x, self.kernel_size, self.dilation, stochastic=self.stochastic,
-                epsilon=self.epsilon, train=train, rng=krng)
+                epsilon=self.epsilon, train=train, rng=krng,
+                method=self.knn_method)
         return self._conv().apply(params, state, x, edge_index, train=train, rng=rng,
                                   axis_name=axis_name)
 
@@ -267,19 +269,24 @@ def _block2d(body: Module, kind: str, res_scale: float = 1.0):
 
 
 def PlainDynBlock2d(in_channels, kernel_size=9, dilation=1, conv="edge", act="relu",
-                    norm=None, bias=True, stochastic=False, epsilon=0.0):
+                    norm=None, bias=True, stochastic=False, epsilon=0.0,
+                    knn_method="exact"):
     return _block2d(DynConv2d(in_channels, in_channels, kernel_size, dilation, conv,
-                              act, norm, bias, stochastic, epsilon), "plain")
+                              act, norm, bias, stochastic, epsilon, knn_method),
+                    "plain")
 
 
 def ResDynBlock2d(in_channels, kernel_size=9, dilation=1, conv="edge", act="relu",
-                  norm=None, bias=True, stochastic=False, epsilon=0.0, res_scale=1.0):
+                  norm=None, bias=True, stochastic=False, epsilon=0.0, res_scale=1.0,
+                  knn_method="exact"):
     return _block2d(DynConv2d(in_channels, in_channels, kernel_size, dilation, conv,
-                              act, norm, bias, stochastic, epsilon), "res", res_scale)
+                              act, norm, bias, stochastic, epsilon, knn_method),
+                    "res", res_scale)
 
 
 def DenseDynBlock2d(in_channels, out_channels=64, kernel_size=9, dilation=1,
                     conv="edge", act="relu", norm=None, bias=True, stochastic=False,
-                    epsilon=0.0):
+                    epsilon=0.0, knn_method="exact"):
     return _block2d(DynConv2d(in_channels, out_channels, kernel_size, dilation, conv,
-                              act, norm, bias, stochastic, epsilon), "dense")
+                              act, norm, bias, stochastic, epsilon, knn_method),
+                    "dense")

@@ -530,6 +530,7 @@ class DynConv(Module):
     stochastic: bool = False
     epsilon: float = 0.0
     num_points: int = 1024  # nodes per graph (static)
+    knn_method: str = "exact"  # "approx" = subsample + PartialReduce (ops/knn.py)
 
     def _conv(self) -> Module:
         return graph_conv(self.in_dim, self.out_dim, self.conv, self.act, self.norm,
@@ -545,7 +546,8 @@ class DynConv(Module):
             senders, receivers = dilated_knn_graph_flat(
                 x, self.kernel_size, self.dilation,
                 num_nodes_per_graph=self.num_points, stochastic=self.stochastic,
-                epsilon=self.epsilon, train=train, rng=krng)
+                epsilon=self.epsilon, train=train, rng=krng,
+                method=self.knn_method)
             n = x.shape[0]
             g = Graph(
                 x=None, senders=senders, receivers=receivers, edge_attr=None,

@@ -51,6 +51,7 @@ class DeepGCNConfig:
     epsilon: float = 0.2
     num_points: int = 1024       # points per cloud (dynamic sparse variant)
     emb_dims: int = 1024         # fusion dims (cls variant)
+    knn_method: str = "exact"    # "approx" = TPU PartialReduce path (ops/knn.py)
 
 
 def _fusion_dims(cfg: DeepGCNConfig) -> int:
@@ -163,16 +164,16 @@ class SparseDeepGCN(Module):
                 self._blocks.append(cs.DenseDynBlock(
                     ch + ch * i, ch, c.k, dil, c.conv, c.act, c.norm, c.bias,
                     num_points=c.num_points, stochastic=c.stochastic,
-                    epsilon=c.epsilon))
+                    epsilon=c.epsilon, knn_method=c.knn_method))
             elif c.block.lower() == "res":
                 self._blocks.append(cs.ResDynBlock(
                     ch, c.k, dil, c.conv, c.act, c.norm, c.bias,
                     num_points=c.num_points, stochastic=c.stochastic,
-                    epsilon=c.epsilon))
+                    epsilon=c.epsilon, knn_method=c.knn_method))
             else:
                 self._blocks.append(cs.PlainDynBlock(
                     ch, c.k, 1, c.conv, c.act, c.norm, c.bias,
-                    num_points=c.num_points))
+                    num_points=c.num_points, knn_method=c.knn_method))
         fd = _fusion_dims(c)
         self._fusion = MLP((fd, 1024), c.act, c.norm, c.bias)
         self._pred = [MLP((fd + 1024, 512), c.act, c.norm, c.bias),
@@ -211,7 +212,8 @@ class SparseDeepGCN(Module):
         kwargs = dict(train=train, axis_name=axis_name)
         if g is None:
             senders, receivers = dilated_knn_graph_flat(
-                x[:, 0:3], c.k, 1, num_nodes_per_graph=c.num_points)
+                x[:, 0:3], c.k, 1, num_nodes_per_graph=c.num_points,
+                method=c.knn_method)
             n = x.shape[0]
             g = Graph(x=None, senders=senders, receivers=receivers, edge_attr=None,
                       node_mask=jnp.ones((n,), bool),
@@ -264,14 +266,17 @@ class DenseDeepGCN(Module):
             if c.block.lower() == "dense":
                 self._blocks.append(cd.DenseDynBlock2d(ch + ch * i, ch, c.k, 1 + i,
                                                        c.conv, c.act, c.norm, c.bias,
-                                                       c.stochastic, c.epsilon))
+                                                       c.stochastic, c.epsilon,
+                                                       knn_method=c.knn_method))
             elif c.block.lower() == "res":
                 self._blocks.append(cd.ResDynBlock2d(ch, c.k, 1 + i, c.conv, c.act,
                                                      c.norm, c.bias, c.stochastic,
-                                                     c.epsilon))
+                                                     c.epsilon,
+                                                     knn_method=c.knn_method))
             else:
                 self._blocks.append(cd.PlainDynBlock2d(ch, c.k, 1, c.conv, c.act,
-                                                       c.norm, c.bias))
+                                                       c.norm, c.bias,
+                                                       knn_method=c.knn_method))
         fd = _fusion_dims(c)
         self._fusion = cd.BasicConv((fd, 1024), c.act, c.norm, c.bias)
         self._pred = [cd.BasicConv((fd + 1024, 512), c.act, c.norm, c.bias),
@@ -309,7 +314,7 @@ class DenseDeepGCN(Module):
             edge_index = dilated_knn_graph_dense(x[..., 0:3], c.k, 1,
                                                  stochastic=c.stochastic,
                                                  epsilon=c.epsilon, train=train,
-                                                 rng=krng)
+                                                 rng=krng, method=c.knn_method)
         h, new_state["head"] = self._head.apply(params["head"], state["head"], x,
                                                 edge_index, rng=rng, **kwargs)
         feats = [h]
@@ -357,15 +362,18 @@ class DeepGCNCls(Module):
             if c.block.lower() == "dense":
                 self._blocks.append(cd.DenseDynBlock2d(ch + ch * i, ch, c.k, 1 + i,
                                                        c.conv, c.act, c.norm, c.bias,
-                                                       c.stochastic, c.epsilon))
+                                                       c.stochastic, c.epsilon,
+                                                       knn_method=c.knn_method))
             elif c.block.lower() == "res":
                 dil = (1 + i) if c.use_dilation else 1
                 self._blocks.append(cd.ResDynBlock2d(ch, c.k, dil, c.conv, c.act,
                                                      c.norm, c.bias, c.stochastic,
-                                                     c.epsilon))
+                                                     c.epsilon,
+                                                     knn_method=c.knn_method))
             else:
                 self._blocks.append(cd.PlainDynBlock2d(ch, c.k, 1, c.conv, c.act,
-                                                       c.norm, c.bias))
+                                                       c.norm, c.bias,
+                                                       knn_method=c.knn_method))
         fd = _fusion_dims(c)
         self._fusion = cd.BasicConv((fd, c.emb_dims), "leakyrelu", c.norm, bias=False)
         self._pred = [cd.BasicConv((c.emb_dims * 2, 512), "leakyrelu", c.norm,
@@ -400,7 +408,8 @@ class DeepGCNCls(Module):
         krng = None if rng is None else jax.random.fold_in(rng, 31)
         edge_index = dilated_knn_graph_dense(x[..., 0:3], c.k, 1,
                                              stochastic=c.stochastic,
-                                             epsilon=c.epsilon, train=train, rng=krng)
+                                             epsilon=c.epsilon, train=train, rng=krng,
+                                             method=c.knn_method)
         h, new_state["head"] = self._head.apply(params["head"], state["head"], x,
                                                 edge_index, rng=rng, **kwargs)
         feats = [h]

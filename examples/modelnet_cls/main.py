@@ -15,6 +15,9 @@ from common import EpochTimer, base_parser, setup_experiment  # noqa: E402
 def get_args():
     p = base_parser("DeepGCN ModelNet40 classification (TPU)")
     p.add_argument("--k", type=int, default=9)
+    p.add_argument("--knn_method", type=str, default="exact",
+                   choices=["exact", "approx"],
+                   help="approx = TPU PartialReduce dilated kNN (ops/knn.py)")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="edge")
     p.add_argument("--act", type=str, default="relu")
@@ -62,7 +65,7 @@ def main():
         in_channels=args.in_channels, n_classes=args.n_classes,
         n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
         act=args.act, norm=args.norm, block=args.block, dropout=args.dropout,
-        k=args.k, use_dilation=args.use_dilation, stochastic=args.use_stochastic,
+        k=args.k, knn_method=args.knn_method, use_dilation=args.use_dilation, stochastic=args.use_stochastic,
         epsilon=args.epsilon, emb_dims=args.emb_dims))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     steps_per_epoch = max(len(tr_x) // args.batch_size, 1)

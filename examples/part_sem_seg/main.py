@@ -17,6 +17,9 @@ def get_args():
     p = base_parser("DeepGCN PartNet part segmentation (TPU)")
     p.add_argument("--category", type=str, default="Bed")
     p.add_argument("--k", type=int, default=9)
+    p.add_argument("--knn_method", type=str, default="exact",
+                   choices=["exact", "approx"],
+                   help="approx = TPU PartialReduce dilated kNN (ops/knn.py)")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="edge")
     p.add_argument("--norm", type=str, default="batch")
@@ -63,7 +66,7 @@ def main():
     model = DenseDeepGCN(DeepGCNConfig(
         in_channels=args.in_channels, n_classes=args.n_classes,
         n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
-        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k))
+        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k, knn_method=args.knn_method))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)

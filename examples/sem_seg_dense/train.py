@@ -15,6 +15,9 @@ from common import EpochTimer, base_parser, setup_experiment  # noqa: E402
 def get_args():
     p = base_parser("DenseDeepGCN S3DIS semantic segmentation (TPU)")
     p.add_argument("--k", type=int, default=16)
+    p.add_argument("--knn_method", type=str, default="exact",
+                   choices=["exact", "approx"],
+                   help="approx = TPU PartialReduce dilated kNN (ops/knn.py)")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="edge")
     p.add_argument("--norm", type=str, default="batch")
@@ -61,7 +64,7 @@ def main():
     model = DenseDeepGCN(DeepGCNConfig(
         in_channels=args.in_channels, n_classes=args.n_classes,
         n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
-        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k,
+        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k, knn_method=args.knn_method,
         stochastic=args.stochastic, epsilon=args.epsilon))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     # Adam + StepLR (`examples/sem_seg_dense/train.py` setup)

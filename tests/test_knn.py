@@ -72,3 +72,34 @@ def test_blocked_knn_matches_direct(rng_np):
     np.testing.assert_allclose(
         np.sort(np.take_along_axis(d, direct, -1), -1),
         np.sort(np.take_along_axis(d, blocked, -1), -1), atol=1e-3)
+
+
+def test_approx_knn_self_first_and_valid(rng_np):
+    """Approx path: self at rank 0, ids in range, and (on CPU, where
+    approx_min_k is exact) the d=1 neighbor set matches the exact path."""
+    x = rng_np.standard_normal((2, 64, 3)).astype(np.float32)
+    nn, center = K.dilated_knn_graph_dense(jnp.asarray(x), 6, 1, method="approx")
+    nn = np.asarray(nn)
+    assert nn.shape == (2, 64, 6)
+    np.testing.assert_array_equal(
+        nn[..., 0], np.broadcast_to(np.arange(64)[None, :], (2, 64)))
+    assert nn.min() >= 0 and nn.max() < 64
+    exact = np.asarray(K.knn_dense(jnp.asarray(x), 6))
+    np.testing.assert_array_equal(np.sort(nn, -1), np.sort(exact, -1))
+
+
+def test_approx_dilated_subsample_semantics(rng_np):
+    """Dilated approx path: neighbors come from the d-strided candidate set
+    (eval offset 0), self is rank 0, shapes are [B, N, k]."""
+    d = 4
+    x = rng_np.standard_normal((1, 128, 3)).astype(np.float32)
+    nn, _ = K.dilated_knn_graph_dense(jnp.asarray(x), 5, d, method="approx",
+                                      train=False)
+    nn = np.asarray(nn)
+    assert nn.shape == (1, 128, 5)
+    np.testing.assert_array_equal(nn[..., 0], np.arange(128)[None, :])
+    assert np.all(nn[..., 1:] % d == 0)  # offset-0 stride candidates
+    # train-time randomized offset still yields valid ids
+    nn_t, _ = K.dilated_knn_graph_dense(jnp.asarray(x), 5, d, method="approx",
+                                        train=True, rng=jax.random.PRNGKey(3))
+    assert np.asarray(nn_t).min() >= 0 and np.asarray(nn_t).max() < 128
