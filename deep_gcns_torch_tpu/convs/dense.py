@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import Module, activation, dropout
+from ..ops.gather import gather_neighbors
 from ..ops.knn import dilated_knn_graph_dense
 
 Array = jax.Array
@@ -105,6 +106,7 @@ class BasicConv(Module):
     norm: Optional[str] = None
     bias: bool = True
     drop: float = 0.0
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16": bf16 matmul, f32 accum
 
     def __post_init__(self):
         object.__setattr__(self, "channels", tuple(self.channels))
@@ -134,7 +136,12 @@ class BasicConv(Module):
     def apply(self, params, state, x, *, train=False, rng=None, axis_name=None, **kw):
         new_state = []
         for i, (cin, cout, nrm) in enumerate(self._stages()):
-            x = x @ params[i]["w"]
+            if self.compute_dtype is not None:
+                cd = jnp.dtype(self.compute_dtype)
+                x = jnp.matmul(x.astype(cd), params[i]["w"].astype(cd),
+                               preferred_element_type=jnp.float32)
+            else:
+                x = x @ params[i]["w"]
             if self.bias:
                 x = x + params[i]["b"]
             if self.act is not None and str(self.act).lower() != "none":
@@ -163,18 +170,25 @@ class EdgeConv2d(Module):
     act: str = "relu"
     norm: Optional[str] = None
     bias: bool = True
+    compute_dtype: Optional[str] = None
 
     def _nn(self):
-        return BasicConv((self.in_dim * 2, self.out_dim), self.act, self.norm, self.bias)
+        return BasicConv((self.in_dim * 2, self.out_dim), self.act, self.norm,
+                         self.bias, compute_dtype=self.compute_dtype)
 
     def init(self, key):
         return self._nn().init(key)
 
     def apply(self, params, state, x, edge_index, *, train=False, rng=None,
               axis_name=None, **kw):
-        nn_idx, center_idx = edge_index
-        x_i = batched_index_select(x, center_idx)
-        x_j = batched_index_select(x, nn_idx)
+        nn_idx, _ = edge_index
+        if self.compute_dtype is not None:
+            # cast BEFORE the gather: halves the dominant [B,N,K,C] HBM traffic
+            x = x.astype(jnp.dtype(self.compute_dtype))
+        # centers are always the canonical arange in this framework (ops/knn.py),
+        # so x_i is a broadcast — its VJP is a k-reduce, not a scatter
+        x_i = jnp.broadcast_to(x[:, :, None, :], nn_idx.shape + x.shape[-1:])
+        x_j = gather_neighbors(x, nn_idx)
         h = jnp.concatenate([x_i, x_j - x_i], axis=-1)  # [B, N, K, 2C]
         y, ns = self._nn().apply(params, state, h, train=train, rng=rng,
                                  axis_name=axis_name)
@@ -189,18 +203,22 @@ class MRConv2d(Module):
     act: str = "relu"
     norm: Optional[str] = None
     bias: bool = True
+    compute_dtype: Optional[str] = None
 
     def _nn(self):
-        return BasicConv((self.in_dim * 2, self.out_dim), self.act, self.norm, self.bias)
+        return BasicConv((self.in_dim * 2, self.out_dim), self.act, self.norm,
+                         self.bias, compute_dtype=self.compute_dtype)
 
     def init(self, key):
         return self._nn().init(key)
 
     def apply(self, params, state, x, edge_index, *, train=False, rng=None,
               axis_name=None, **kw):
-        nn_idx, center_idx = edge_index
-        x_i = batched_index_select(x, center_idx)
-        x_j = batched_index_select(x, nn_idx)
+        nn_idx, _ = edge_index
+        if self.compute_dtype is not None:
+            x = x.astype(jnp.dtype(self.compute_dtype))
+        x_i = x[:, :, None, :]
+        x_j = gather_neighbors(x, nn_idx)
         rel = jnp.max(x_j - x_i, axis=2)  # [B, N, C]
         h = jnp.concatenate([x, rel], axis=-1)[:, :, None, :]  # [B, N, 1, 2C]
         y, ns = self._nn().apply(params, state, h, train=train, rng=rng,
@@ -209,11 +227,12 @@ class MRConv2d(Module):
 
 
 def graph_conv2d(in_dim: int, out_dim: int, conv: str = "edge", act: str = "relu",
-                 norm: Optional[str] = None, bias: bool = True) -> Module:
+                 norm: Optional[str] = None, bias: bool = True,
+                 compute_dtype: Optional[str] = None) -> Module:
     if conv == "edge":
-        return EdgeConv2d(in_dim, out_dim, act, norm, bias)
+        return EdgeConv2d(in_dim, out_dim, act, norm, bias, compute_dtype)
     if conv == "mr":
-        return MRConv2d(in_dim, out_dim, act, norm, bias)
+        return MRConv2d(in_dim, out_dim, act, norm, bias, compute_dtype)
     raise NotImplementedError(f"conv:{conv} is not supported")
 
 
@@ -231,10 +250,11 @@ class DynConv2d(Module):
     stochastic: bool = False
     epsilon: float = 0.0
     knn_method: str = "exact"   # "approx" = subsample + PartialReduce (ops/knn.py)
+    compute_dtype: Optional[str] = None
 
     def _conv(self):
         return graph_conv2d(self.in_dim, self.out_dim, self.conv, self.act, self.norm,
-                            self.bias)
+                            self.bias, self.compute_dtype)
 
     def init(self, key):
         return self._conv().init(key)
@@ -270,23 +290,23 @@ def _block2d(body: Module, kind: str, res_scale: float = 1.0):
 
 def PlainDynBlock2d(in_channels, kernel_size=9, dilation=1, conv="edge", act="relu",
                     norm=None, bias=True, stochastic=False, epsilon=0.0,
-                    knn_method="exact"):
+                    knn_method="exact", compute_dtype=None):
     return _block2d(DynConv2d(in_channels, in_channels, kernel_size, dilation, conv,
-                              act, norm, bias, stochastic, epsilon, knn_method),
-                    "plain")
+                              act, norm, bias, stochastic, epsilon, knn_method,
+                              compute_dtype), "plain")
 
 
 def ResDynBlock2d(in_channels, kernel_size=9, dilation=1, conv="edge", act="relu",
                   norm=None, bias=True, stochastic=False, epsilon=0.0, res_scale=1.0,
-                  knn_method="exact"):
+                  knn_method="exact", compute_dtype=None):
     return _block2d(DynConv2d(in_channels, in_channels, kernel_size, dilation, conv,
-                              act, norm, bias, stochastic, epsilon, knn_method),
-                    "res", res_scale)
+                              act, norm, bias, stochastic, epsilon, knn_method,
+                              compute_dtype), "res", res_scale)
 
 
 def DenseDynBlock2d(in_channels, out_channels=64, kernel_size=9, dilation=1,
                     conv="edge", act="relu", norm=None, bias=True, stochastic=False,
-                    epsilon=0.0, knn_method="exact"):
+                    epsilon=0.0, knn_method="exact", compute_dtype=None):
     return _block2d(DynConv2d(in_channels, out_channels, kernel_size, dilation, conv,
-                              act, norm, bias, stochastic, epsilon, knn_method),
-                    "dense")
+                              act, norm, bias, stochastic, epsilon, knn_method,
+                              compute_dtype), "dense")

@@ -52,6 +52,7 @@ class DeepGCNConfig:
     num_points: int = 1024       # points per cloud (dynamic sparse variant)
     emb_dims: int = 1024         # fusion dims (cls variant)
     knn_method: str = "exact"    # "approx" = TPU PartialReduce path (ops/knn.py)
+    compute_dtype: Optional[str] = None  # "bfloat16": bf16 conv compute, f32 accum
 
 
 def _fusion_dims(cfg: DeepGCNConfig) -> int:
@@ -260,23 +261,27 @@ class DenseDeepGCN(Module):
         self.cfg = cfg
         c = cfg
         ch = c.n_filters
-        self._head = cd.graph_conv2d(c.in_channels, ch, c.conv, c.act, c.norm, c.bias)
+        self._head = cd.graph_conv2d(c.in_channels, ch, c.conv, c.act, c.norm, c.bias,
+                                     compute_dtype=c.compute_dtype)
         self._blocks = []
         for i in range(c.n_blocks - 1):
             if c.block.lower() == "dense":
                 self._blocks.append(cd.DenseDynBlock2d(ch + ch * i, ch, c.k, 1 + i,
                                                        c.conv, c.act, c.norm, c.bias,
                                                        c.stochastic, c.epsilon,
-                                                       knn_method=c.knn_method))
+                                                       knn_method=c.knn_method,
+                                                       compute_dtype=c.compute_dtype))
             elif c.block.lower() == "res":
                 self._blocks.append(cd.ResDynBlock2d(ch, c.k, 1 + i, c.conv, c.act,
                                                      c.norm, c.bias, c.stochastic,
                                                      c.epsilon,
-                                                     knn_method=c.knn_method))
+                                                     knn_method=c.knn_method,
+                                                       compute_dtype=c.compute_dtype))
             else:
                 self._blocks.append(cd.PlainDynBlock2d(ch, c.k, 1, c.conv, c.act,
                                                        c.norm, c.bias,
-                                                       knn_method=c.knn_method))
+                                                       knn_method=c.knn_method,
+                                                       compute_dtype=c.compute_dtype))
         fd = _fusion_dims(c)
         self._fusion = cd.BasicConv((fd, 1024), c.act, c.norm, c.bias)
         self._pred = [cd.BasicConv((fd + 1024, 512), c.act, c.norm, c.bias),
@@ -356,24 +361,27 @@ class DeepGCNCls(Module):
         c = cfg
         ch = c.n_filters
         self._head = cd.graph_conv2d(c.in_channels, ch, c.conv, c.act, c.norm,
-                                     bias=False)
+                                     bias=False, compute_dtype=c.compute_dtype)
         self._blocks = []
         for i in range(c.n_blocks - 1):
             if c.block.lower() == "dense":
                 self._blocks.append(cd.DenseDynBlock2d(ch + ch * i, ch, c.k, 1 + i,
                                                        c.conv, c.act, c.norm, c.bias,
                                                        c.stochastic, c.epsilon,
-                                                       knn_method=c.knn_method))
+                                                       knn_method=c.knn_method,
+                                                       compute_dtype=c.compute_dtype))
             elif c.block.lower() == "res":
                 dil = (1 + i) if c.use_dilation else 1
                 self._blocks.append(cd.ResDynBlock2d(ch, c.k, dil, c.conv, c.act,
                                                      c.norm, c.bias, c.stochastic,
                                                      c.epsilon,
-                                                     knn_method=c.knn_method))
+                                                     knn_method=c.knn_method,
+                                                       compute_dtype=c.compute_dtype))
             else:
                 self._blocks.append(cd.PlainDynBlock2d(ch, c.k, 1, c.conv, c.act,
                                                        c.norm, c.bias,
-                                                       knn_method=c.knn_method))
+                                                       knn_method=c.knn_method,
+                                                       compute_dtype=c.compute_dtype))
         fd = _fusion_dims(c)
         self._fusion = cd.BasicConv((fd, c.emb_dims), "leakyrelu", c.norm, bias=False)
         self._pred = [cd.BasicConv((c.emb_dims * 2, 512), "leakyrelu", c.norm,

@@ -91,3 +91,66 @@ def gather_dst_auto(x: Array, g) -> Array:
                            g.num_nodes_padded)):
         return gather_dst(x, g.receivers, g.row_ptr)
     return jnp.take(x, jnp.minimum(g.receivers, x.shape[0] - 1), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# dense (batched point-cloud) neighbor gather — `gcn_lib/dense/torch_nn.py:75-96`
+# ---------------------------------------------------------------------------
+
+def neighbor_transpose(idx: Array):
+    """Sender-sorted transpose of a dense kNN edge structure, built on device.
+
+    idx [B, N, K] (neighbor ids per center, from ops/knn.py) → the flat
+    batch-offset edge list sorted by SENDER: (csc_perm [E], csc_senders [E],
+    csc_row_ptr [B·N+1]) with E = B·N·K.  One `sort_key_val` over E int32 keys
+    (~1 ms at 0.5M edges) buys the backward a sorted segment-sum instead of
+    XLA's serial unsorted scatter-add (~4.7 ms per scatter at the same size).
+    """
+    b, n, k = idx.shape
+    e = b * n * k
+    flat = (idx.astype(jnp.int32)
+            + (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]).reshape(e)
+    senders, perm = jax.lax.sort_key_val(flat, jnp.arange(e, dtype=jnp.int32))
+    row_ptr = jnp.searchsorted(senders, jnp.arange(b * n + 1,
+                                                   dtype=jnp.int32)).astype(jnp.int32)
+    return perm, senders, row_ptr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_neighbors_csc(x, idx, csc_perm, csc_senders, csc_row_ptr,
+                          interpret: bool = False):
+    return jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=0, mode="clip"))(x, idx)
+
+
+def _gn_fwd(x, idx, csc_perm, csc_senders, csc_row_ptr, interpret):
+    out = jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=0, mode="clip"))(x, idx)
+    return out, (csc_perm, csc_senders, csc_row_ptr, x.shape)
+
+
+def _gn_bwd(interpret, res, g):
+    csc_perm, csc_senders, csc_row_ptr, xshape = res
+    b, n, c = xshape
+    g_flat = g.reshape(-1, c)
+    g_sorted = jnp.take(g_flat, csc_perm, axis=0)
+    dx = segment_sum_csr(g_sorted, csc_senders, csc_row_ptr, interpret)
+    return dx.reshape(b, n, c), None, None, None, None
+
+
+_gather_neighbors_csc.defvjp(_gn_fwd, _gn_bwd)
+
+
+def gather_neighbors(x: Array, idx: Array) -> Array:
+    """x [B, N, C], idx [B, N, K] → [B, N, K, C]; CSC segment-sum backward when
+    the Pallas kernel tiles fit, plain take (unsorted-scatter VJP) otherwise."""
+    from .segment import _sum_pallas_ok
+
+    b, n, k = idx.shape
+    flat_shape = (b * n * k, x.shape[-1])
+
+    class _probe:
+        shape = flat_shape
+    if _sum_pallas_ok(_probe, b * n, row_ptr=True):
+        csc_perm, csc_senders, csc_row_ptr = neighbor_transpose(
+            jax.lax.stop_gradient(idx))
+        return _gather_neighbors_csc(x, idx, csc_perm, csc_senders, csc_row_ptr)
+    return jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=0, mode="clip"))(x, idx)

@@ -18,6 +18,8 @@ def get_args():
     p.add_argument("--knn_method", type=str, default="exact",
                    choices=["exact", "approx"],
                    help="approx = TPU PartialReduce dilated kNN (ops/knn.py)")
+    p.add_argument("--compute_dtype", type=str, default="",
+                   help="e.g. bfloat16: bf16 conv compute, f32 accumulation")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="edge")
     p.add_argument("--act", type=str, default="relu")
@@ -65,7 +67,8 @@ def main():
         in_channels=args.in_channels, n_classes=args.n_classes,
         n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
         act=args.act, norm=args.norm, block=args.block, dropout=args.dropout,
-        k=args.k, knn_method=args.knn_method, use_dilation=args.use_dilation, stochastic=args.use_stochastic,
+        k=args.k, knn_method=args.knn_method,
+        compute_dtype=(args.compute_dtype or None), use_dilation=args.use_dilation, stochastic=args.use_stochastic,
         epsilon=args.epsilon, emb_dims=args.emb_dims))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     steps_per_epoch = max(len(tr_x) // args.batch_size, 1)

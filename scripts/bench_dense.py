@@ -55,19 +55,19 @@ if "--cls-only" not in sys.argv:
     B, N = 8, 4096
     x = jnp.asarray(rng.standard_normal((B, N, 9)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 13, (B, N)))
-    for meth in ("exact", "approx"):
+    for meth, cdt in (("exact", None), ("approx", None), ("approx", "bfloat16")):
         if "--approx-only" in sys.argv and meth == "exact":
             continue
         m = DenseDeepGCN(DeepGCNConfig(in_channels=9, n_classes=13, n_filters=64,
                                        n_blocks=28, conv="edge", k=16, block="res",
-                                       knn_method=meth))
-        bench(f"sem_seg_dense B8xN4096 k16 L28 knn={meth}", m, x, y)
+                                       knn_method=meth, compute_dtype=cdt))
+        bench(f"sem_seg_dense B8xN4096 k16 L28 knn={meth} cd={cdt}", m, x, y)
 
 B, N = 32, 1024
 x = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
 y = jnp.asarray(rng.integers(0, 40, (B,)))
-for meth in ("exact", "approx"):
+for meth, cdt in (("exact", None), ("approx", None), ("approx", "bfloat16")):
     m = DeepGCNCls(DeepGCNConfig(in_channels=3, n_classes=40, n_filters=64,
                                  n_blocks=14, conv="edge", k=9, block="res",
-                                 knn_method=meth))
-    bench(f"modelnet_cls B32xN1024 k9 L14 knn={meth}", m, x, y)
+                                 knn_method=meth, compute_dtype=cdt))
+    bench(f"modelnet_cls B32xN1024 k9 L14 knn={meth} cd={cdt}", m, x, y)

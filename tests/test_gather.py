@@ -40,3 +40,39 @@ def test_csc_aux_consistency(rng_np):
     cp = np.asarray(g.csc_col_ptr)
     counts = np.bincount(ss, minlength=g.num_nodes_padded)
     np.testing.assert_array_equal(np.diff(cp), counts)
+
+
+def test_gather_neighbors_grads_match_take(rng_np):
+    """CSC-backed dense neighbor gather == plain take, values and grads.
+
+    Shapes chosen kernel-aligned (E = B·N·K % 512 == 0, B·N % 128 == 0) so the
+    Pallas route is exercised in interpret-free CPU mode via the fallback AND
+    the custom-VJP math is checked against autodiff of plain take."""
+    import jax
+    import jax.numpy as jnp
+    from deep_gcns_torch_tpu.ops.gather import (_gather_neighbors_csc,
+                                                gather_neighbors,
+                                                neighbor_transpose)
+
+    b, n, k, c = 2, 64, 4, 8
+    x = jnp.asarray(rng_np.standard_normal((b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng_np.integers(0, n, (b, n, k)), jnp.int32)
+    g = jnp.asarray(rng_np.standard_normal((b, n, k, c)), jnp.float32)
+
+    def take_ref(x):
+        return jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=0))(x, idx)
+
+    perm, senders, row_ptr = neighbor_transpose(idx)
+
+    def csc(x):
+        return _gather_neighbors_csc(x, idx, perm, senders, row_ptr,
+                                     True)  # interpret mode on CPU
+
+    np.testing.assert_allclose(np.asarray(csc(x)), np.asarray(take_ref(x)))
+    _, vjp_ref = jax.vjp(take_ref, x)
+    _, vjp_csc = jax.vjp(csc, x)
+    np.testing.assert_allclose(np.asarray(vjp_csc(g)[0]),
+                               np.asarray(vjp_ref(g)[0]), rtol=1e-5, atol=1e-5)
+    # public wrapper agrees too
+    np.testing.assert_allclose(np.asarray(gather_neighbors(x, idx)),
+                               np.asarray(take_ref(x)))
