@@ -5,6 +5,8 @@ random partition cluster training, multi-partition averaged evaluation with ROC-
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -140,6 +142,12 @@ def run_proteins(args, model_builder, name: str):
     key = jax.random.PRNGKey(args.seed + 1)
     best_valid = -1.0
     results = {}
+    ckpt = None
+    if getattr(args, "save_ckpt", False):
+        # async (orbax) checkpointing: serialization overlaps the next epoch's
+        # train steps — the right default for multi-hour 1001-layer runs
+        from deep_gcns_torch_tpu.utils.ckpt_async import AsyncCheckpointer
+        ckpt = AsyncCheckpointer(os.path.join(exp, "ckpt"), max_to_keep=2)
     for epoch in range(args.epochs):
         parts = random_partition_graph(rng, n, args.cluster_number)
         graphs, node_lists, feats = make_clusters(parts, args.cluster_number)
@@ -162,6 +170,12 @@ def run_proteins(args, model_builder, name: str):
             scalars.log(epoch, loss=ep_loss / args.cluster_number,
                         **{f"auc_{k}": v for k, v in results.items()})
             best_valid = max(best_valid, results["valid"])
+            if ckpt is not None:
+                ckpt.save(epoch, params=params, state=state, opt_state=opt_state,
+                          metrics={"valid": results["valid"]},
+                          meta={"epoch": epoch, "best_valid": best_valid})
+    if ckpt is not None:
+        ckpt.wait()
     logger.info("best valid ROC-AUC %.4f; mean eval-epoch %.1fs", best_valid,
                 timer.mean())
     return best_valid, results

@@ -53,3 +53,31 @@ def test_ply_export(tmp_path, rng_np):
     for p in paths:
         head = open(p).read(200)
         assert head.startswith("ply") and "element vertex 50" in head
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Orbax-backed async save → wait → restore reproduces the pytrees; rolling
+    retention keeps max_to_keep steps plus the pinned best."""
+    import jax
+    import jax.numpy as jnp
+    from deep_gcns_torch_tpu.utils.ckpt_async import AsyncCheckpointer
+
+    ck = AsyncCheckpointer(str(tmp_path / "ck"), max_to_keep=2)
+    p = {"w": jnp.arange(12.0).reshape(3, 4), "b": [jnp.ones((2,)), jnp.zeros((1,))]}
+    opt = {"mu": jax.tree.map(jnp.zeros_like, p)}
+    for step, v in ((0, 0.9), (1, 0.2), (2, 0.3)):
+        ck.save(step, params=jax.tree.map(lambda a, s=step: a + s, p),
+                opt_state=opt, metrics={"valid": v}, meta={"epoch": step})
+    ck.wait()
+    assert ck.latest_step() == 2
+    assert ck.best_step() == 0  # best valid=0.9 pinned despite rolling window
+    like = {"params": jax.tree.map(jnp.zeros_like, p),
+            "opt_state": jax.tree.map(jnp.zeros_like, opt)}
+    tree, meta, step = ck.restore(like=like, with_meta=True)
+    assert step == 2 and meta["epoch"] == 2
+    np.testing.assert_allclose(np.asarray(tree["params"]["w"]),
+                               np.arange(12.0).reshape(3, 4) + 2)
+    best = ck.restore(ck.best_step(), like=like)
+    np.testing.assert_allclose(np.asarray(best["params"]["w"]),
+                               np.arange(12.0).reshape(3, 4))
+    ck.close()
