@@ -181,7 +181,16 @@ class RevGAT(Module):
                         jnp.tile(keep[:, None], (1, coupling.group)))
             return coupling.inverse(lp, y, g, m, keep_rep, train=train)
 
-        run = make_reversible_scan(fwd_one, inv_one)
+        def inv_vjp_one(p, y, diff, gy):
+            m, _keeps = diff
+            lp, keep = p
+            keep_rep = (None if keep is None else
+                        jnp.tile(keep[:, None], (1, coupling.group)))
+            x, gx, glp, (gm, _gkeep) = coupling.inverse_and_vjp(
+                lp, y, g, gy, m, keep_rep, train=train)
+            return x, gx, (glp, jnp.zeros_like(keep)), (gm, None)
+
+        run = make_reversible_scan(fwd_one, inv_one, inv_vjp_one)
         scan_params = (params["mid"],
                        keep_mid if keep_mid is not None
                        else jnp.zeros((c.n_layers - 2, 0), jnp.float32))
@@ -197,7 +206,14 @@ class RevGAT(Module):
                 lp, _keep = p
                 return coupling.inverse(lp, y, g, m, None, train=train)
 
-            run = make_reversible_scan(fwd_one, inv_one)
+            def inv_vjp_one(p, y, diff, gy):  # noqa: F811
+                m, _ = diff
+                lp, keep = p
+                x, gx, glp, (gm,) = coupling.inverse_and_vjp(
+                    lp, y, g, gy, m, train=train)
+                return x, gx, (glp, jnp.zeros_like(keep)), (gm, None)
+
+            run = make_reversible_scan(fwd_one, inv_one, inv_vjp_one)
         h = run(scan_params, h, (mask, None))
 
         h = _batch_stats_norm(params["norm"], h, g.node_mask)

@@ -133,7 +133,13 @@ class RevGCN(Module):
             m, e, ec = diff_args
             return coupling.inverse(p, y, g, m, e, ec, train=train)
 
-        run = make_reversible_scan(fwd_one, inv_one)
+        def inv_vjp_one(p, y, diff_args, gy):
+            m, e, ec = diff_args
+            x, gx, gp, (gm, ge, gec) = coupling.inverse_and_vjp(
+                p, y, g, gy, m, e, ec, train=train)
+            return x, gx, gp, (gm, ge, gec)
+
+        run = make_reversible_scan(fwd_one, inv_one, inv_vjp_one)
         h = run(params["layers"], h, (mask, edge_emb, edge_emb_csc))
 
         # -- head (`:109-112`)

@@ -81,3 +81,64 @@ class GroupAdditiveCoupling(Module):
             fmd = self._fm(params, i, y_in, g, chunk_args=args_chunks[i], **kw)
             xs.append(ys[i] - fmd)
         return jnp.concatenate(xs[::-1], axis=-1)
+
+    def inverse_and_vjp(self, params, y, g, gy, *args, **kw):
+        """Fused inverse + VJP for the backward pass of the reversible engine.
+
+        The additive structure means the term subtracted in `inverse`
+        (F_i(u_i)) is exactly the primal that `jax.vjp` of the forward would
+        recompute at the same point u_i — so evaluate each group function ONCE
+        via jax.vjp, reuse its primal for the reconstruction, and chain the
+        cotangents by hand:
+
+            y_i = x_i + F_i(u_i),  u_i = y_{i-1} (i>0),  u_0 = Σ_{j≥1} x_j
+            ⇒ gx_i = gy_i^tot;  gu_i routes to gy_{i-1} (i>0) or to gx_{j≥1}.
+
+        Returns (x, gx, gparams, gargs). Saves one full group-function
+        evaluation (its node-table gather included) per group per layer vs
+        inverse + jax.vjp(forward) — ~25% of the reversible backward at
+        RevGAT/RevGCN scale, where the edge gathers dominate.
+        """
+        G = self.group
+        ys = _chunk(y, G)
+        gys = list(_chunk(gy, G))
+        args_chunks = list(zip(*[_chunk(a, G) for a in args])) or [()] * G
+        xs = [None] * G
+        gxs = [None] * G
+        gps = [None] * G
+        gargs = [None] * G
+
+        def f(p_, u_, a_):
+            out, _ = self.fm.apply(p_, {}, u_, g, chunk_args=a_, **kw)
+            return out
+
+        for i in range(G - 1, -1, -1):
+            if i > 0:
+                u_i = ys[i - 1]
+            else:
+                u_i = sum(xs[1:]) if G > 1 else jnp.zeros_like(ys[0])
+            u_i = jax.lax.stop_gradient(u_i)
+            p_i = jax.tree_util.tree_map(lambda a: a[i], params)
+            prim, vjp = jax.vjp(f, p_i, u_i, args_chunks[i])
+            xs[i] = ys[i] - prim
+            gy_tot = gys[i]
+            gp_i, gu_i, ga_i = vjp(gy_tot)
+            gxs[i] = gy_tot
+            gps[i] = gp_i
+            gargs[i] = ga_i
+            if i > 0:
+                gys[i - 1] = gys[i - 1] + gu_i
+            else:
+                for j in range(1, G):
+                    gxs[j] = gxs[j] + gu_i
+        x = jnp.concatenate(xs, axis=-1)
+        gx = jnp.concatenate(gxs, axis=-1)
+        gparams = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *gps)
+        gargs_full = []
+        for k, a in enumerate(args):
+            if a is None:
+                gargs_full.append(None)
+            else:
+                gargs_full.append(jnp.concatenate([gargs[i][k] for i in range(G)],
+                                                  axis=-1))
+        return x, gx, gparams, tuple(gargs_full)

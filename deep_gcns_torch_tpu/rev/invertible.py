@@ -28,17 +28,25 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def make_reversible_scan(fwd_one: Callable, inv_one: Callable):
+def make_reversible_scan(fwd_one: Callable, inv_one: Callable,
+                         inv_vjp_one: Callable = None):
     """Build `run(stacked_params, h0, diff_args) -> hL`.
 
     fwd_one(params_l, h, diff_args) -> h_next   (pure, stateless)
     inv_one(params_l, h_next, diff_args) -> h   (exact inverse of fwd_one)
+    inv_vjp_one(params_l, h_next, diff_args, g_next)
+        -> (h, g_h, g_params, g_args)           (optional fused backward)
 
     `diff_args` is a pytree of float arrays shared by every layer (e.g. shared
     dropout mask, edge embeddings); cotangents for it are accumulated across layers
     (an edge embedding computed once and fed to all layers gets the summed gradient,
     matching torch autograd). Non-differentiable structure (the Graph) should be
     closed over by fwd_one/inv_one.
+
+    When `inv_vjp_one` is given (e.g. `GroupAdditiveCoupling.inverse_and_vjp`),
+    the backward uses it instead of inverse-then-`jax.vjp(fwd_one)` — for additive
+    couplings the inverse can reuse the vjp's primal evaluation, saving one full
+    layer evaluation (node-table gathers included) per layer of backward.
     """
 
     @jax.custom_vjp
@@ -59,9 +67,14 @@ def make_reversible_scan(fwd_one: Callable, inv_one: Callable):
 
         def body(carry, p):
             y, gy, ga = carry
-            x = jax.lax.stop_gradient(inv_one(p, y, diff_args))
-            _, vjp = jax.vjp(lambda p_, x_, a_: fwd_one(p_, x_, a_), p, x, diff_args)
-            gp, gx, gai = vjp(gy)
+            if inv_vjp_one is not None:
+                x, gx, gp, gai = inv_vjp_one(p, y, diff_args, gy)
+                x = jax.lax.stop_gradient(x)
+            else:
+                x = jax.lax.stop_gradient(inv_one(p, y, diff_args))
+                _, vjp = jax.vjp(lambda p_, x_, a_: fwd_one(p_, x_, a_), p, x,
+                                 diff_args)
+                gp, gx, gai = vjp(gy)
             ga = jax.tree_util.tree_map(jnp.add, ga, gai)
             return (x, gx, ga), gp
 

@@ -70,15 +70,34 @@ def test_reversible_grads_match_autodiff(rng_np):
     def loss_plain(sp, h, m):
         return jnp.sum(plain(sp, h, m) ** 2)
 
+    # fused inverse+vjp backward (the production path in RevGCN/RevGAT)
+    def inv_vjp_one(p_, y, diff, gy):
+        (m,) = diff
+        xx, gx, gp, (gm,) = coupling.inverse_and_vjp(p_, y, g, gy, m, train=True)
+        return xx, gx, gp, (gm,)
+
+    run_fused = make_reversible_scan(fwd_one, inv_one, inv_vjp_one)
+
+    def loss_fused(sp, h, m):
+        return jnp.sum(run_fused(sp, h, (m,)) ** 2)
+
     v1, (gp1, gx1, gm1) = jax.value_and_grad(loss_rev, argnums=(0, 1, 2))(
         stacked, x, mask)
     v2, (gp2, gx2, gm2) = jax.value_and_grad(loss_plain, argnums=(0, 1, 2))(
         stacked, x, mask)
+    v3, (gp3, gx3, gm3) = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(
+        stacked, x, mask)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(gp1), jax.tree_util.tree_leaves(gp2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(v3), float(v2), rtol=1e-5)
+    for ref, got in ((gp2, gp1), (gp2, gp3)):
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                       atol=2e-4)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx2), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm2), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gm3), np.asarray(gm2), rtol=2e-3, atol=2e-4)
 
 
 def test_revgcn_forward_and_grads(rng_np):
