@@ -164,7 +164,12 @@ class BasicConv(Module):
 
 @dataclass(frozen=True)
 class EdgeConv2d(Module):
-    """max_k BasicConv([x_i ‖ x_j − x_i]) (`gcn_lib/dense/torch_vertex.py:23-35`)."""
+    """max_k BasicConv([x_i ‖ x_j − x_i]) (`gcn_lib/dense/torch_vertex.py:23-35`).
+
+    Contract: edge_index = (nn_idx, centers) with centers the CANONICAL arange
+    (every producer in this framework — ops/knn.py — emits that); centers are
+    not gathered, x_i is a broadcast, so non-canonical centers are unsupported.
+    """
     in_dim: int
     out_dim: int
     act: str = "relu"
@@ -197,7 +202,9 @@ class EdgeConv2d(Module):
 
 @dataclass(frozen=True)
 class MRConv2d(Module):
-    """BasicConv([x ‖ max_k(x_j − x_i)]) (`torch_vertex.py:8-20`)."""
+    """BasicConv([x ‖ max_k(x_j − x_i)]) (`torch_vertex.py:8-20`).
+
+    Contract: centers must be the canonical arange (see EdgeConv2d)."""
     in_dim: int
     out_dim: int
     act: str = "relu"

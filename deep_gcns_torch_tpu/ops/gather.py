@@ -142,14 +142,10 @@ _gather_neighbors_csc.defvjp(_gn_fwd, _gn_bwd)
 def gather_neighbors(x: Array, idx: Array) -> Array:
     """x [B, N, C], idx [B, N, K] → [B, N, K, C]; CSC segment-sum backward when
     the Pallas kernel tiles fit, plain take (unsorted-scatter VJP) otherwise."""
-    from .segment import _sum_pallas_ok
+    from .segment import sum_pallas_ok_shape
 
     b, n, k = idx.shape
-    flat_shape = (b * n * k, x.shape[-1])
-
-    class _probe:
-        shape = flat_shape
-    if _sum_pallas_ok(_probe, b * n, row_ptr=True):
+    if sum_pallas_ok_shape((b * n * k, x.shape[-1]), b * n, has_row_ptr=True):
         csc_perm, csc_senders, csc_row_ptr = neighbor_transpose(
             jax.lax.stop_gradient(idx))
         return _gather_neighbors_csc(x, idx, csc_perm, csc_senders, csc_row_ptr)

@@ -73,6 +73,51 @@ def knn_dense(x: Array, k: int, row_block: int = 1024) -> Array:
     return idx[:, :n]
 
 
+def _self_first(idx: Array, n: int) -> Array:
+    """Force self into slot 0 without duplication: the slot where the
+    approximate bins surfaced self (indices are distinct per row) is swapped
+    with the last candidate, the last slot is dropped, self is prepended —
+    matching the exact path, where self ranks first by distance 0.  Pure
+    elementwise (an argsort here costs ~5 ms/layer at S3DIS shapes: XLA sorts
+    are slow on TPU even over a k-wide axis)."""
+    b, nn, k = idx.shape
+    self_idx = jnp.broadcast_to(jnp.arange(nn, dtype=idx.dtype)[None, :, None],
+                                (b, nn, 1))
+    is_self = idx == self_idx
+    rest = jnp.where(is_self[..., : k - 1], idx[..., k - 1:k], idx[..., : k - 1])
+    return jnp.concatenate([self_idx, rest], axis=-1)
+
+
+def _approx_min_k_blocked(x: Array, cand: Array, k: int, recall_target: float,
+                          row_block: int = 4096) -> Array:
+    """approx_min_k over the distance rows x↔cand, streamed in row blocks so
+    the [B, N, M] distance matrix is never materialized past row_block rows
+    (mirrors `knn_dense`'s streaming).  The threshold is higher than the exact
+    path's (4096 vs 1024): PartialReduce keeps the whole block fused and the
+    lax.map serialization costs ~20% at S3DIS shapes, while a [B, 4096, 4096]
+    f32 transient is well within HBM; beyond that, streaming engages."""
+    b, n, c = x.shape
+    m = cand.shape[1]
+    sq_c = jnp.sum(cand * cand, axis=-1)  # [B, M]
+
+    def block(xb):
+        inner = -2.0 * jnp.einsum("brc,bmc->brm", xb, cand,
+                                  preferred_element_type=jnp.float32)
+        dist = inner + jnp.sum(xb * xb, -1)[..., None] + sq_c[:, None, :]
+        _, idx = jax.lax.approx_min_k(dist, k, recall_target=recall_target)
+        return idx
+
+    if n <= row_block:
+        return block(x)
+    nb = -(-n // row_block)
+    pad = nb * row_block - n
+    xq = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    xq = xq.reshape(b, nb, row_block, c).transpose(1, 0, 2, 3)
+    idx = jax.lax.map(block, xq)  # [nb, B, RB, k]
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, nb * row_block, k)
+    return idx[:, :n]
+
+
 def knn_dense_approx(x: Array, k: int, recall_target: float = 0.95) -> Array:
     """Approximate k nearest neighbors via the TPU PartialReduce unit
     (`jax.lax.approx_min_k`), exact-sorted among the returned candidates.
@@ -80,20 +125,11 @@ def knn_dense_approx(x: Array, k: int, recall_target: float = 0.95) -> Array:
     The exact `top_k` over an N-point row costs ~40-75 ms at N=4096 on v5e (XLA
     lowers it to an O(N log² N) sort loop); PartialReduce reads the row once.
     Self is forced into slot 0 (the exact path has it there by distance 0; the
-    approximate bins can miss it)."""
+    approximate bins can miss it). Distances stream in row blocks."""
     x = jax.lax.stop_gradient(x).astype(jnp.float32)
     b, n, _ = x.shape
-    d = pairwise_distance(x)
-    _, idx = jax.lax.approx_min_k(d, k, recall_target=recall_target)
-    self_idx = jnp.broadcast_to(jnp.arange(n, dtype=idx.dtype)[None, :, None],
-                                (b, n, 1))
-    # drop self wherever the bins surfaced it, then re-prepend at rank 0
-    is_self = idx == self_idx
-    keep = jnp.where(is_self, n + jnp.arange(k, dtype=idx.dtype),
-                     jnp.arange(k, dtype=idx.dtype))
-    order = jnp.argsort(keep, axis=-1)[..., : k - 1]
-    rest = jnp.take_along_axis(idx, order, axis=-1)
-    return jnp.concatenate([self_idx, rest], axis=-1)
+    idx = _approx_min_k_blocked(x, x, k, recall_target)
+    return _self_first(idx, n)
 
 
 def _dilate_ranks(idx: Array, k: int, d: int, *, stochastic: bool, epsilon: float,
@@ -125,7 +161,8 @@ def knn_graph_dense(x: Array, k: int) -> Tuple[Array, Array]:
 
 
 def _dilated_knn_approx(x: Array, k: int, d: int, *, train: bool,
-                        rng: Optional[Array], recall_target: float) -> Array:
+                        rng: Optional[Array], recall_target: float,
+                        stochastic: bool = False) -> Array:
     """TPU-native dilated kNN: kNN(k) over a 1/d candidate subsample.
 
     The reference's dilation takes ranks {0, d, 2d, ...} of the exact k·d-NN
@@ -141,25 +178,22 @@ def _dilated_knn_approx(x: Array, k: int, d: int, *, train: bool,
     if d <= 1:
         return knn_dense_approx(x, k, recall_target)
     off = 0
-    if train and rng is not None:
+    if stochastic and train and rng is not None:
+        # stochastic-dilation analog: randomize the subsample phase per call;
+        # stochastic=False keeps offset 0 — deterministic graphs at train time,
+        # matching the reference's non-stochastic strided mode
         off = jax.random.randint(rng, (), 0, d)
     cols = (jnp.arange((n + d - 1) // d) * d + off) % n
     xs = jnp.take(x, cols, axis=1)                       # [B, ~N/d, C]
-    inner = -2.0 * jnp.einsum("bnc,bmc->bnm", x, xs,
-                              preferred_element_type=jnp.float32)
-    dist = (inner + jnp.sum(x * x, -1)[..., None]
-            + jnp.sum(xs * xs, -1)[:, None, :])          # [B, N, ~N/d]
     kk = min(k, xs.shape[1])
-    _, idx = jax.lax.approx_min_k(dist, kk, recall_target=recall_target)
+    idx = _approx_min_k_blocked(x, xs, kk, recall_target)
     idx = jnp.take(cols, idx)                            # back to global ids
     if kk < k:  # degenerate tiny-N case: pad with self
         idx = jnp.concatenate(
             [idx, jnp.broadcast_to(jnp.arange(n, dtype=idx.dtype)[None, :, None],
                                    (b, n, k - kk))], axis=-1)
-    # rank 0 is self in the exact strided list (distance 0); enforce it here
-    self_idx = jnp.broadcast_to(jnp.arange(n, dtype=idx.dtype)[None, :, None],
-                                (b, n, 1))
-    return jnp.concatenate([self_idx, idx[..., : k - 1]], axis=-1)
+    # rank 0 is self in the exact strided list (distance 0): dedup + prepend
+    return _self_first(idx, n)
 
 
 def dilated_knn_graph_dense(
@@ -176,7 +210,8 @@ def dilated_knn_graph_dense(
     b, n, _ = x.shape
     if method == "approx":
         nn_idx = _dilated_knn_approx(x, k, dilation, train=train, rng=rng,
-                                     recall_target=recall_target)
+                                     recall_target=recall_target,
+                                     stochastic=stochastic)
     else:
         nn_idx = knn_dense(x, k * dilation)
         nn_idx = _dilate_ranks(nn_idx, k, dilation, stochastic=stochastic,

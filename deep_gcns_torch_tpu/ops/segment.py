@@ -35,25 +35,30 @@ def _mask2d(mask: Optional[Array], like: Array) -> Optional[Array]:
     return mask.reshape((-1,) + (1,) * (like.ndim - 1))
 
 
-def _sum_pallas_ok(data, num_segments: int, row_ptr) -> bool:
-    """Route plain sums to the pipelined Pallas CSR kernel when legal and the
-    lane padding is worth it (any flat width ≥ 32; the XLA scatter path loses
-    even with padding because its backward is a serial scatter)."""
-    if row_ptr is None:
+def sum_pallas_ok_shape(shape, num_segments: int, has_row_ptr: bool) -> bool:
+    """Shape-level gate for routing a plain segment sum to the pipelined Pallas
+    CSR kernel: legal tile alignment AND lane padding worth it (any flat width
+    ≥ 32; the XLA scatter path loses even with padding because its backward is
+    a serial scatter)."""
+    if not has_row_ptr:
         return False
     from . import spmm_pallas as sp
     c = 1
-    for d in data.shape[1:]:
+    for d in shape[1:]:
         c *= d
     cp = -(-c // 128) * 128
     if c < 32 or (cp > 128 and cp > 2 * c):
         return False
-    if data.shape[0] % sp.CHUNK or num_segments % sp.BN:
+    if shape[0] % sp.CHUNK or num_segments % sp.BN:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _sum_pallas_ok(data, num_segments: int, row_ptr) -> bool:
+    return sum_pallas_ok_shape(data.shape, num_segments, row_ptr is not None)
 
 
 def segment_sum(data: Array, segment_ids: Array, num_segments: int,

@@ -13,7 +13,6 @@ import numpy as np
 import optax
 
 from deep_gcns_torch_tpu.models import DenseDeepGCN, DeepGCNCls, DeepGCNConfig
-from deep_gcns_torch_tpu.utils.loss import cross_entropy
 
 
 def bench(name, model, x, labels, steps=8):
@@ -25,9 +24,7 @@ def bench(name, model, x, labels, steps=8):
     def step(p, s, opt, key):
         def lossf(p):
             logits, s2 = model.apply(p, s, x, train=True, rng=key)
-            if logits.ndim == 3:  # seg: [B, N, cls]
-                return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels)), s2
+            # seg logits [B, N, cls] / cls logits [B, cls]: same masked mean
             return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels)), s2
         (l, s2), gr = jax.value_and_grad(lossf, has_aux=True)(p)

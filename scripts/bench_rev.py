@@ -22,7 +22,7 @@ from deep_gcns_torch_tpu.data.synthetic import random_node_graph
 
 def bursts(step, args, n=3, reps=2):
     out = step(*args)
-    jax.block_until_ready(out[-1])
+    jax.block_until_ready(out[0])  # out[-1] is the pass-through key
     best = 1e9
     for _ in range(reps):
         t0 = time.time()

@@ -103,3 +103,19 @@ def test_approx_dilated_subsample_semantics(rng_np):
     nn_t, _ = K.dilated_knn_graph_dense(jnp.asarray(x), 5, d, method="approx",
                                         train=True, rng=jax.random.PRNGKey(3))
     assert np.asarray(nn_t).min() >= 0 and np.asarray(nn_t).max() < 128
+
+
+def test_approx_dilated_no_duplicate_self(rng_np):
+    """Points whose index lands in the candidate subsample must not get a
+    duplicated self edge (regression: self was prepended without dedup)."""
+    d = 4
+    x = rng_np.standard_normal((1, 128, 3)).astype(np.float32)
+    nn, _ = K.dilated_knn_graph_dense(jnp.asarray(x), 5, d, method="approx",
+                                      train=False)
+    nn = np.asarray(nn)[0]
+    for i in range(128):
+        assert len(set(nn[i].tolist())) == 5, (i, nn[i])
+    # stochastic=False + train=True stays deterministic (offset 0)
+    nn2, _ = K.dilated_knn_graph_dense(jnp.asarray(x), 5, d, method="approx",
+                                       train=True, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(nn2)[0], nn)
