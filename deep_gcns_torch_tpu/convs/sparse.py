@@ -214,6 +214,7 @@ class MRConv(Module):
     norm: Optional[str] = None
     bias: bool = True
     aggr: str = "max"
+    compute_dtype: Optional[str] = None  # "bfloat16": bf16 edge path, f32 accum
 
     def _nn(self) -> MLP:
         return MLP((self.in_dim * 2, self.out_dim), act=self.act, norm=self.norm,
@@ -225,12 +226,15 @@ class MRConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        rel = gather_src_auto(x, g) - gather_dst_auto(x, g)
+        cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+        xe = x if cd is None else x.astype(cd)  # cast before the E-wide gathers
+        rel = gather_src_auto(xe, g) - gather_dst_auto(xe, g)
         agg = scatter(self.aggr, rel, g.receivers, x.shape[0], mask=g.edge_mask,
                       row_ptr=g.row_ptr)
-        h = jnp.concatenate([x, agg], axis=1)
+        h = jnp.concatenate([xe, agg], axis=1)
         out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
-                                   mask=g.node_mask, axis_name=axis_name)
+                                   mask=g.node_mask, axis_name=axis_name,
+                                   compute_dtype=cd)
         return out, {"nn": ns}
 
 
@@ -246,6 +250,7 @@ class EdgeConv(Module):
     norm: Optional[str] = None
     bias: bool = True
     aggr: str = "max"
+    compute_dtype: Optional[str] = None  # "bfloat16": bf16 edge path, f32 accum
 
     def _nn(self) -> MLP:
         return MLP((self.in_dim * 2, self.out_dim), act=self.act, norm=self.norm,
@@ -257,16 +262,21 @@ class EdgeConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        x_i = gather_dst_auto(x, g)
-        x_j = gather_src_auto(x, g)
+        cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+        xe = x if cd is None else x.astype(cd)  # cast before the E-wide gathers
+        x_i = gather_dst_auto(xe, g)
+        x_j = gather_src_auto(xe, g)
         h = jnp.concatenate([x_i, x_j - x_i], axis=1)
         # NB: the MLP (incl. batch-norm over *edges*) runs per-edge, then max-aggregates
         # — same order as PyG EdgeConv(nn, 'max').
         msg, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
-                                   mask=g.edge_mask, axis_name=axis_name)
+                                   mask=g.edge_mask, axis_name=axis_name,
+                                   compute_dtype=cd)
+        if cd is not None:
+            msg = msg.astype(cd)  # keep the E-wide aggregate traffic at bf16
         out = scatter(self.aggr, msg, g.receivers, x.shape[0], mask=g.edge_mask,
                       row_ptr=g.row_ptr)
-        return out, {"nn": ns}
+        return out.astype(jnp.float32) if cd is not None else out, {"nn": ns}
 
 
 # ---------------------------------------------------------------------------
@@ -494,12 +504,15 @@ class GINConv(Module):
 # ---------------------------------------------------------------------------
 
 def graph_conv(in_dim: int, out_dim: int, conv: str = "edge", act: str = "relu",
-               norm: Optional[str] = None, bias: bool = True, heads: int = 8) -> Module:
+               norm: Optional[str] = None, bias: bool = True, heads: int = 8,
+               compute_dtype: Optional[str] = None) -> Module:
     c = conv.lower()
     if c == "edge":
-        return EdgeConv(in_dim, out_dim, act, norm, bias)
+        return EdgeConv(in_dim, out_dim, act, norm, bias,
+                        compute_dtype=compute_dtype)
     if c == "mr":
-        return MRConv(in_dim, out_dim, act, norm, bias)
+        return MRConv(in_dim, out_dim, act, norm, bias,
+                      compute_dtype=compute_dtype)
     if c == "gat":
         return GATConv(in_dim, out_dim // heads, heads, act, norm, bias)
     if c == "gcn":
@@ -531,10 +544,11 @@ class DynConv(Module):
     epsilon: float = 0.0
     num_points: int = 1024  # nodes per graph (static)
     knn_method: str = "exact"  # "approx" = subsample + PartialReduce (ops/knn.py)
+    compute_dtype: Optional[str] = None
 
     def _conv(self) -> Module:
         return graph_conv(self.in_dim, self.out_dim, self.conv, self.act, self.norm,
-                          self.bias, self.heads)
+                          self.bias, self.heads, compute_dtype=self.compute_dtype)
 
     def init(self, key):
         return self._conv().init(key)
@@ -596,12 +610,14 @@ def DenseDynBlock(in_channels, out_channels=64, kernel_size=9, dilation=1, conv=
 
 
 def ResGraphBlock(channels, conv="edge", act="relu", norm=None, bias=True, heads=8,
-                  res_scale=1.0):
-    return _block(graph_conv(channels, channels, conv, act, norm, bias, heads),
+                  res_scale=1.0, compute_dtype=None):
+    return _block(graph_conv(channels, channels, conv, act, norm, bias, heads,
+                             compute_dtype=compute_dtype),
                   "res", res_scale)
 
 
 def DenseGraphBlock(in_channels, out_channels, conv="edge", act="relu", norm=None,
-                    bias=True, heads=8):
-    return _block(graph_conv(in_channels, out_channels, conv, act, norm, bias, heads),
+                    bias=True, heads=8, compute_dtype=None):
+    return _block(graph_conv(in_channels, out_channels, conv, act, norm, bias, heads,
+                             compute_dtype=compute_dtype),
                   "dense")

@@ -72,16 +72,18 @@ class DeepGCNStatic(Module):
         c = cfg
         ch = c.n_filters
         self._head = cs.graph_conv(c.in_channels, ch, c.conv, c.act, c.norm, c.bias,
-                                   c.heads)
+                                   c.heads, compute_dtype=c.compute_dtype)
         res_scale = 1.0 if c.block.lower() == "res" else 0.0
         self._blocks = []
         for i in range(c.n_blocks - 1):
             if c.block.lower() == "dense":
-                self._blocks.append(cs.DenseGraphBlock(ch + i * ch, ch, c.conv, c.act,
-                                                       c.norm, c.bias, c.heads))
+                self._blocks.append(cs.DenseGraphBlock(
+                    ch + i * ch, ch, c.conv, c.act, c.norm, c.bias, c.heads,
+                    compute_dtype=c.compute_dtype))
             else:
-                self._blocks.append(cs.ResGraphBlock(ch, c.conv, c.act, c.norm,
-                                                     c.bias, c.heads, res_scale))
+                self._blocks.append(cs.ResGraphBlock(
+                    ch, c.conv, c.act, c.norm, c.bias, c.heads, res_scale,
+                    compute_dtype=c.compute_dtype))
         fd = _fusion_dims(c)
         self._fusion = MLP((fd, 1024), c.act, None, c.bias)
         self._pred = [MLP((1 + fd, 512), c.act, c.norm, c.bias),
@@ -157,7 +159,8 @@ class SparseDeepGCN(Module):
         self.cfg = cfg
         c = cfg
         ch = c.n_filters
-        self._head = cs.graph_conv(c.in_channels, ch, c.conv, c.act, c.norm, c.bias)
+        self._head = cs.graph_conv(c.in_channels, ch, c.conv, c.act, c.norm, c.bias,
+                                   compute_dtype=c.compute_dtype)
         self._blocks = []
         for i in range(c.n_blocks - 1):
             dil = 1 + i if c.block.lower() in ("res", "dense") else 1
@@ -165,16 +168,19 @@ class SparseDeepGCN(Module):
                 self._blocks.append(cs.DenseDynBlock(
                     ch + ch * i, ch, c.k, dil, c.conv, c.act, c.norm, c.bias,
                     num_points=c.num_points, stochastic=c.stochastic,
-                    epsilon=c.epsilon, knn_method=c.knn_method))
+                    epsilon=c.epsilon, knn_method=c.knn_method,
+                    compute_dtype=c.compute_dtype))
             elif c.block.lower() == "res":
                 self._blocks.append(cs.ResDynBlock(
                     ch, c.k, dil, c.conv, c.act, c.norm, c.bias,
                     num_points=c.num_points, stochastic=c.stochastic,
-                    epsilon=c.epsilon, knn_method=c.knn_method))
+                    epsilon=c.epsilon, knn_method=c.knn_method,
+                    compute_dtype=c.compute_dtype))
             else:
                 self._blocks.append(cs.PlainDynBlock(
                     ch, c.k, 1, c.conv, c.act, c.norm, c.bias,
-                    num_points=c.num_points, knn_method=c.knn_method))
+                    num_points=c.num_points, knn_method=c.knn_method,
+                    compute_dtype=c.compute_dtype))
         fd = _fusion_dims(c)
         self._fusion = MLP((fd, 1024), c.act, c.norm, c.bias)
         self._pred = [MLP((fd + 1024, 512), c.act, c.norm, c.bias),

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -98,7 +100,8 @@ def segment_mean(data: Array, segment_ids: Array, num_segments: int,
     return s / jnp.maximum(cnt, 1)
 
 
-def _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, kind):
+def _extreme_fwd_impl(data, segment_ids, mask, num_segments, indices_are_sorted,
+                      kind):
     fill = _NEG_INF if kind == "max" else float("inf")
     m = _mask2d(mask, data)
     if m is not None:
@@ -107,17 +110,59 @@ def _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, 
     out = fn(data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted)
     # torch_scatter yields 0 for empty segments (reference clamps via
     # `out[out < -10000] = 0`, utils/pyg_util.py:30-34).
-    return jnp.where(jnp.isfinite(out), out, 0)
+    return jnp.where(jnp.isfinite(out), out, 0), data
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _segment_extreme(data, segment_ids, mask, num_segments, indices_are_sorted,
+                     kind):
+    """Segment max/min with a scatter-free backward.
+
+    XLA differentiates segment_max through a serial scatter into the argmax
+    positions (~5.4 s at 524k edges x 64 ch on v5e). The VJP here is pure
+    gather/compare/segment-sum: route the cotangent to the entries equal to
+    their segment's extreme (split evenly among exact ties; torch_scatter
+    routes to a single arbitrary argmax, identical whenever the extreme is
+    unique, which is a.s. for float inputs)."""
+    return _extreme_fwd_impl(data, segment_ids, mask, num_segments,
+                             indices_are_sorted, kind)[0]
+
+
+def _extreme_fwd(data, segment_ids, mask, num_segments, indices_are_sorted, kind):
+    out, filled = _extreme_fwd_impl(data, segment_ids, mask, num_segments,
+                                    indices_are_sorted, kind)
+    return out, (filled, segment_ids, out)
+
+
+def _extreme_bwd(num_segments, indices_are_sorted, kind, res, g):
+    filled, segment_ids, out = res
+    ids = jnp.minimum(segment_ids, num_segments - 1)
+    valid = segment_ids < num_segments
+    if valid.ndim < filled.ndim:
+        valid = valid.reshape(valid.shape + (1,) * (filled.ndim - valid.ndim))
+    out_e = jnp.take(out, ids, axis=0)
+    elig = (filled == out_e) & jnp.isfinite(filled) & valid
+    cnt = jax.ops.segment_sum(elig.astype(jnp.float32), segment_ids, num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    cnt_e = jnp.take(jnp.maximum(cnt, 1.0), ids, axis=0)
+    g_e = jnp.take(g.astype(jnp.float32), ids, axis=0)
+    dd = jnp.where(elig, g_e / cnt_e, 0.0).astype(filled.dtype)
+    return dd, None, None
+
+
+_segment_extreme.defvjp(_extreme_fwd, _extreme_bwd)
 
 
 def segment_max(data: Array, segment_ids: Array, num_segments: int,
                 mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
-    return _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, "max")
+    return _segment_extreme(data, segment_ids, mask, num_segments,
+                            indices_are_sorted, "max")
 
 
 def segment_min(data: Array, segment_ids: Array, num_segments: int,
                 mask: Optional[Array] = None, indices_are_sorted: bool = True) -> Array:
-    return _segment_extreme(data, segment_ids, num_segments, mask, indices_are_sorted, "min")
+    return _segment_extreme(data, segment_ids, mask, num_segments,
+                            indices_are_sorted, "min")
 
 
 def scatter(name: str, data: Array, segment_ids: Array, num_segments: int,

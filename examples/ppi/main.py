@@ -16,6 +16,8 @@ def get_args():
     p = base_parser("DeepGCN on PPI (TPU)")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="mr")
+    p.add_argument("--compute_dtype", type=str, default="",
+                   help="e.g. bfloat16: bf16 edge path, f32 accumulation")
     p.add_argument("--norm", type=str, default="batch")
     p.add_argument("--act", type=str, default="relu")
     p.add_argument("--n_blocks", type=int, default=14)
@@ -96,7 +98,7 @@ def main():
 
     model = DeepGCNStatic(DeepGCNConfig(
         in_channels=args.in_channels, n_classes=args.n_classes,
-        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
+        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv, compute_dtype=(args.compute_dtype or None),
         act=args.act, norm=args.norm, heads=args.n_heads, block=args.block,
         dropout=args.dropout))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))

@@ -19,6 +19,8 @@ def get_args():
     p.add_argument("--knn_method", type=str, default="exact",
                    choices=["exact", "approx"],
                    help="approx = TPU PartialReduce dilated kNN (ops/knn.py)")
+    p.add_argument("--compute_dtype", type=str, default="",
+                   help="e.g. bfloat16: bf16 edge path, f32 accumulation")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="edge")
     p.add_argument("--norm", type=str, default="batch")
@@ -63,6 +65,7 @@ def main():
         in_channels=args.in_channels, n_classes=args.n_classes,
         n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
         norm=args.norm, block=args.block, dropout=args.dropout, k=args.k, knn_method=args.knn_method,
+        compute_dtype=(args.compute_dtype or None),
         stochastic=args.stochastic, epsilon=args.epsilon,
         num_points=args.num_points))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))

@@ -88,3 +88,37 @@ def test_softmax_sg_stops_gradient(rng_np):
     w = scatter_softmax_ref(np.asarray(msgs) * 2.0, r, 10)
     np.testing.assert_allclose(np.asarray(g_sg), w, rtol=1e-5, atol=1e-6)
     assert not np.allclose(np.asarray(g_full), w)
+
+
+def test_segment_max_grad_scatter_free(rng_np):
+    """The scatter-free segment_max VJP == autodiff of jax.ops.segment_max
+    (unique maxima), routes nothing to masked/padding entries, and splits
+    evenly on exact ties."""
+    import jax
+    import jax.numpy as jnp
+    from deep_gcns_torch_tpu.ops.segment import segment_max
+
+    e, n, c = 64, 8, 5
+    ids = np.sort(rng_np.integers(0, n, e)).astype(np.int32)
+    data = rng_np.standard_normal((e, c)).astype(np.float32)
+    g = rng_np.standard_normal((n, c)).astype(np.float32)
+
+    def ours(d):
+        return jnp.sum(segment_max(d, jnp.asarray(ids), n) * g)
+
+    def ref(d):
+        out = jax.ops.segment_max(d, jnp.asarray(ids), n, indices_are_sorted=True)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0) * g)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(ours)(jnp.asarray(data))),
+                               np.asarray(jax.grad(ref)(jnp.asarray(data))),
+                               rtol=1e-6, atol=1e-6)
+    # exact tie: both entries get half the cotangent
+    d2 = jnp.asarray(np.array([[1.0], [1.0], [0.5]], np.float32))
+    ids2 = jnp.asarray(np.array([0, 0, 0], np.int32))
+    gr = jax.grad(lambda d: jnp.sum(segment_max(d, ids2, 1) * 2.0))(d2)
+    np.testing.assert_allclose(np.asarray(gr)[:, 0], [1.0, 1.0, 0.0])
+    # sentinel-padded ids get zero gradient
+    ids3 = jnp.asarray(np.array([0, 0, 1], np.int32))
+    gr3 = jax.grad(lambda d: jnp.sum(segment_max(d, ids3, 1)))(d2)
+    assert float(gr3[2, 0]) == 0.0
