@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import Module, activation, dropout
+from ..nn.core import Module, activation, dropout, prelu_init
 from ..ops.gather import gather_neighbors
 from ..ops.knn import dilated_knn_graph_dense
 
@@ -30,6 +30,27 @@ Array = jax.Array
 def batched_index_select(x: Array, idx: Array) -> Array:
     """x: [B, N, C], idx: [B, N, K] → neighbor features [B, N, K, C]."""
     return jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=0, mode="clip"))(x, idx)
+
+
+def _check_canonical_centers(centers: Optional[Array]) -> None:
+    """EdgeConv2d/MRConv2d assume centers == broadcast arange(N) and broadcast
+    x_i instead of gathering it (VJP is a k-reduce, not a scatter). A caller
+    passing non-canonical centers would silently get wrong output — catch it
+    when the array is concrete (eager / constant-folded). Tracers (the normal
+    jit path) are skipped: every producer in this framework (ops/knn.py) emits
+    the canonical arange.
+    """
+    if centers is None or isinstance(centers, jax.core.Tracer):
+        return
+    import numpy as _np
+
+    c = _np.asarray(centers)
+    want = _np.arange(c.shape[-2], dtype=c.dtype)[:, None]
+    if not (c == want).all():
+        raise ValueError(
+            "EdgeConv2d/MRConv2d require canonical centers (broadcast arange(N)); "
+            "got a non-canonical center index array. Gather the features with "
+            "batched_index_select yourself or reorder the edge_index.")
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +150,9 @@ class BasicConv(Module):
             sentry = {}
             if nrm is not None:
                 entry["norm"], sentry["norm"] = nrm.init(jax.random.fold_in(k, 1))
+            pa = prelu_init(self.act)
+            if pa is not None:
+                entry["prelu"] = pa
             params.append(entry)
             state.append(sentry)
         return params, state
@@ -145,7 +169,7 @@ class BasicConv(Module):
             if self.bias:
                 x = x + params[i]["b"]
             if self.act is not None and str(self.act).lower() != "none":
-                x = activation(self.act, x)
+                x = activation(self.act, x, prelu=params[i].get("prelu"))
             sentry = {}
             if nrm is not None:
                 x, ns = nrm.apply(params[i]["norm"], state[i]["norm"], x, train=train,
@@ -186,7 +210,8 @@ class EdgeConv2d(Module):
 
     def apply(self, params, state, x, edge_index, *, train=False, rng=None,
               axis_name=None, **kw):
-        nn_idx, _ = edge_index
+        nn_idx, centers = edge_index
+        _check_canonical_centers(centers)
         if self.compute_dtype is not None:
             # cast BEFORE the gather: halves the dominant [B,N,K,C] HBM traffic
             x = x.astype(jnp.dtype(self.compute_dtype))
@@ -221,7 +246,8 @@ class MRConv2d(Module):
 
     def apply(self, params, state, x, edge_index, *, train=False, rng=None,
               axis_name=None, **kw):
-        nn_idx, _ = edge_index
+        nn_idx, centers = edge_index
+        _check_canonical_centers(centers)
         if self.compute_dtype is not None:
             x = x.astype(jnp.dtype(self.compute_dtype))
         x_i = x[:, :, None, :]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..graph import Graph
 from ..nn.core import (
-    MLP, Linear, Module, MultiEmbedding, activation, dropout, make_norm,
+    MLP, Linear, Module, MultiEmbedding, activation, dropout, make_norm, prelu_init,
 )
 from ..ops.segment import (
     fused_gather_ok, generalized_aggregate, scatter, segment_degree,
@@ -308,6 +308,9 @@ class GATConv(Module):
         state = {}
         if self.bias:
             params["b"] = jnp.zeros((h * d,))
+        pa = prelu_init(self.act)
+        if pa is not None:
+            params["prelu"] = pa
         nrm = make_norm(self.norm, h * d)
         if nrm is not None:
             params["norm"], state["norm"] = nrm.init(kn)
@@ -349,7 +352,7 @@ class GATConv(Module):
             out = out + params["b"]
         # post: act then norm (`torch_vertex.py:124-133`)
         if self.act is not None and str(self.act).lower() != "none":
-            out = activation(self.act, out)
+            out = activation(self.act, out, prelu=params.get("prelu"))
         nrm = make_norm(self.norm, h * d)
         new_state = dict(state)
         if nrm is not None:
@@ -433,6 +436,9 @@ class SemiGCNConv(Module):
                                           -bound, bound)}
         if self.bias:
             params["b"] = jnp.zeros((self.out_dim,))
+        pa = prelu_init(self.act)
+        if pa is not None:
+            params["prelu"] = pa
         state = {}
         nrm = make_norm(self.norm, self.out_dim)
         if nrm is not None:
@@ -458,7 +464,7 @@ class SemiGCNConv(Module):
         if self.bias:
             out = out + params["b"]
         if self.act is not None and str(self.act).lower() != "none":
-            out = activation(self.act, out)
+            out = activation(self.act, out, prelu=params.get("prelu"))
         nrm = make_norm(self.norm, self.out_dim)
         new_state = dict(state)
         if nrm is not None:

@@ -11,12 +11,13 @@ from .core import (
     MultiEmbedding,
     make_norm,
     activation,
+    prelu_init,
     dropout,
     init_all,
 )
 
 __all__ = [
     "Module", "Linear", "MLP", "LayerNorm", "BatchNorm", "InstanceNorm", "PReLU",
-    "Identity", "Embedding", "MultiEmbedding", "make_norm", "activation", "dropout",
-    "init_all",
+    "Identity", "Embedding", "MultiEmbedding", "make_norm", "activation",
+    "prelu_init", "dropout", "init_all",
 ]

@@ -54,7 +54,14 @@ class Module:
 # activations (reference: `gcn_lib/sparse/torch_nn.py:9-20` act_layer)
 # ---------------------------------------------------------------------------
 
-def activation(act: Optional[str], x: Array, *, neg_slope: float = 0.2) -> Array:
+def activation(act: Optional[str], x: Array, *, neg_slope: float = 0.2,
+               prelu: Optional[Array] = None) -> Array:
+    """Dispatch relu/leakyrelu/prelu (`gcn_lib/sparse/torch_nn.py:9-20` act_layer).
+
+    For "prelu" the slope is the learnable `prelu` param when provided (modules
+    that own one pass it through — MLP/BasicConv/GATConv/SemiGCNConv), else the
+    static init slope `neg_slope` (reference init: `nn.PReLU(init=neg_slope)`).
+    """
     if act is None or act.lower() == "none":
         return x
     a = act.lower()
@@ -62,7 +69,18 @@ def activation(act: Optional[str], x: Array, *, neg_slope: float = 0.2) -> Array
         return jax.nn.relu(x)
     if a == "leakyrelu":
         return jax.nn.leaky_relu(x, neg_slope)
+    if a == "prelu":
+        slope = neg_slope if prelu is None else prelu.astype(x.dtype)
+        return jnp.where(x >= 0, x, slope * x)
     raise NotImplementedError(f"activation layer [{act}] is not found")
+
+
+def prelu_init(act: Optional[str], neg_slope: float = 0.2) -> Optional[Array]:
+    """Learnable PReLU slope param for modules whose act factory hits "prelu"
+    (reference `nn.PReLU(num_parameters=1, init=neg_slope)`)."""
+    if act is not None and act.lower() == "prelu":
+        return jnp.full((1,), neg_slope, jnp.float32)
+    return None
 
 
 @dataclass(frozen=True)
@@ -353,7 +371,7 @@ class MLP(Module):
 
     def init(self, key):
         params, state = [], []
-        for i, (lin, norm, _) in enumerate(self._layers()):
+        for i, (lin, norm, post) in enumerate(self._layers()):
             k = jax.random.fold_in(key, i)
             lp, _ = lin.init(k)
             entry = {"lin": lp}
@@ -362,6 +380,10 @@ class MLP(Module):
                 np_, ns = norm.init(jax.random.fold_in(k, 1))
                 entry["norm"] = np_
                 sentry["norm"] = ns
+            if post:  # post-processing layer → owns its act param
+                pa = prelu_init(self.act)
+                if pa is not None:
+                    entry["prelu"] = pa
             params.append(entry)
             state.append(sentry)
         return params, state
@@ -381,7 +403,7 @@ class MLP(Module):
                                        state[i].get("norm", {}), x,
                                        train=train, mask=mask, axis_name=axis_name)
                     sentry["norm"] = ns
-                x = activation(self.act, x)
+                x = activation(self.act, x, prelu=params[i].get("prelu"))
                 if self.drop > 0:
                     r = None if rng is None else jax.random.fold_in(rng, i)
                     x = dropout(x, self.drop, train=train, rng=r)

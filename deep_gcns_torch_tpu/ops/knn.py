@@ -183,15 +183,16 @@ def _dilated_knn_approx(x: Array, k: int, d: int, *, train: bool,
         # stochastic=False keeps offset 0 — deterministic graphs at train time,
         # matching the reference's non-stochastic strided mode
         off = jax.random.randint(rng, (), 0, d)
-    cols = (jnp.arange((n + d - 1) // d) * d + off) % n
+    n_cand = (n + d - 1) // d
+    if n_cand < k:
+        # Degenerate tiny-N case (ceil(N/d) < k): padding would emit duplicate
+        # edges (violating _self_first's no-duplication contract), so fall back
+        # to the exact un-dilated kNN — N is tiny here, the cost is nil.
+        return knn_dense(x, k)
+    cols = (jnp.arange(n_cand) * d + off) % n
     xs = jnp.take(x, cols, axis=1)                       # [B, ~N/d, C]
-    kk = min(k, xs.shape[1])
-    idx = _approx_min_k_blocked(x, xs, kk, recall_target)
+    idx = _approx_min_k_blocked(x, xs, k, recall_target)
     idx = jnp.take(cols, idx)                            # back to global ids
-    if kk < k:  # degenerate tiny-N case: pad with self
-        idx = jnp.concatenate(
-            [idx, jnp.broadcast_to(jnp.arange(n, dtype=idx.dtype)[None, :, None],
-                                   (b, n, k - kk))], axis=-1)
     # rank 0 is self in the exact strided list (distance 0): dedup + prepend
     return _self_first(idx, n)
 

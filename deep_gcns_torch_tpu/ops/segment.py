@@ -19,7 +19,8 @@ bit-for-bit on valid data; these functions define the semantics:
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
+from typing import Dict, Optional
 
 import functools
 
@@ -29,6 +30,40 @@ import jax.numpy as jnp
 Array = jax.Array
 
 _NEG_INF = float("-inf")
+
+_log = logging.getLogger(__name__)
+
+# Observability for the fused-kernel routing gates: a graph built with
+# non-default pad_multiple/edge_pad silently loses the Pallas fast path — a
+# 2-5x perf cliff users couldn't see before. Counters per (route, reason) and
+# a once-per-key warning. `fastpath_misses()` is surfaced by EdgeRateMeter.
+FASTPATH_MISSES: Dict[str, int] = {}
+_warned_keys: set = set()
+
+
+def _miss(route: str, reason: str, *, warn: bool = True) -> bool:
+    """Record that `route` fell off the fused Pallas path; returns False so the
+    gates can use it as their tail expression."""
+    key = f"{route}:{reason}"
+    FASTPATH_MISSES[key] = FASTPATH_MISSES.get(key, 0) + 1
+    if warn:
+        try:  # off-TPU the Pallas path never applies — a warning is pure noise
+            warn = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            warn = False
+    if warn and key not in _warned_keys:
+        _warned_keys.add(key)
+        _log.warning(
+            "Pallas fast path disabled for %s: %s — falling back to the XLA "
+            "scatter path (2-5x slower). Rebuild the graph with default "
+            "pad_multiple/edge_pad so E_pad and N_pad are tile-aligned.",
+            route, reason)
+    return False
+
+
+def fastpath_misses() -> Dict[str, int]:
+    """Snapshot of fused-route miss counters (route:reason → count)."""
+    return dict(FASTPATH_MISSES)
 
 
 def _mask2d(mask: Optional[Array], like: Array) -> Optional[Array]:
@@ -43,18 +78,23 @@ def sum_pallas_ok_shape(shape, num_segments: int, has_row_ptr: bool) -> bool:
     ≥ 32; the XLA scatter path loses even with padding because its backward is
     a serial scatter)."""
     if not has_row_ptr:
-        return False
+        return _miss("segment_sum", "graph has no CSR row_ptr aux")
     from . import spmm_pallas as sp
     c = 1
     for d in shape[1:]:
         c *= d
     cp = -(-c // 128) * 128
-    if c < 32 or (cp > 128 and cp > 2 * c):
-        return False
+    if c < 32:
+        return False  # narrow rows: XLA path is fine, not a cliff
+    if cp > 128 and cp > 2 * c:
+        return _miss("segment_sum", f"channel width {c} pads to {cp} (>2x waste)")
     if shape[0] % sp.CHUNK or num_segments % sp.BN:
-        return False
+        return _miss("segment_sum",
+                     f"E_pad={shape[0]} % {sp.CHUNK} or N_pad={num_segments} % "
+                     f"{sp.BN} nonzero (non-default pad_multiple/edge_pad?)")
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu" or _miss(
+            "segment_sum", "platform is not TPU", warn=False)
     except Exception:  # pragma: no cover
         return False
 
@@ -204,14 +244,18 @@ def segment_softmax(data: Array, segment_ids: Array, num_segments: int,
 def _pallas_ok(aggr: str, row_ptr, msgs, num_segments: int) -> bool:
     """Route to the fused Pallas CSR kernels when legal: TPU backend, CSR row_ptr
     present, kernel-supported aggregation, tile-aligned padding."""
-    if row_ptr is None or aggr not in ("softmax", "softmax_sg", "softmax_sum",
-                                       "add", "sum", "mean"):
-        return False
+    if aggr not in ("softmax", "softmax_sg", "softmax_sum", "add", "sum", "mean"):
+        return False  # kernel doesn't cover this aggregator; not a cliff
+    if row_ptr is None:
+        return _miss("generalized_aggregate", "graph has no CSR row_ptr aux")
     from . import spmm_pallas as sp
     if msgs.shape[0] % sp.CHUNK or num_segments % sp.BN:
-        return False
+        return _miss("generalized_aggregate",
+                     f"E_pad={msgs.shape[0]} % {sp.CHUNK} or N_pad={num_segments} "
+                     f"% {sp.BN} nonzero (non-default pad_multiple/edge_pad?)")
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu" or _miss(
+            "generalized_aggregate", "platform is not TPU", warn=False)
     except Exception:  # pragma: no cover
         return False
 
@@ -221,19 +265,25 @@ def fused_gather_ok(g, c: int, aggr: str) -> bool:
     pair (CSR forward / CSC backward) when legal: TPU, softmax family, CSR+CSC aux
     present, lane-aligned channels, tile-aligned padding."""
     if aggr not in ("softmax", "softmax_sg", "softmax_sum"):
-        return False
+        return False  # fused pair only covers the softmax family; not a cliff
     if g.row_ptr is None or g.csc_col_ptr is None or g.csc_receivers is None:
-        return False
+        return _miss("fused_gather_agg", "graph lacks CSR/CSC aux indices")
     from . import spmm_pallas as sp
     cp = -(-c // 128) * 128  # lane-padded width (Mosaic DMA requirement)
     # any c ≤ 128 wins even at high padding ratios (the unfused path's fixed
     # permute/gather overheads dominate: measured 2.5x at c=40); above one lane
     # tile, cap the padding overhead at 2x.
-    if (cp > 128 and cp > 2 * c) or g.num_edges_padded % sp.CHUNK \
-            or g.num_nodes_padded % sp.BN:
-        return False
+    if cp > 128 and cp > 2 * c:
+        return _miss("fused_gather_agg",
+                     f"channel width {c} pads to {cp} (>2x lane-padding waste)")
+    if g.num_edges_padded % sp.CHUNK or g.num_nodes_padded % sp.BN:
+        return _miss("fused_gather_agg",
+                     f"E_pad={g.num_edges_padded} % {sp.CHUNK} or "
+                     f"N_pad={g.num_nodes_padded} % {sp.BN} nonzero "
+                     f"(non-default pad_multiple/edge_pad?)")
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu" or _miss(
+            "fused_gather_agg", "platform is not TPU", warn=False)
     except Exception:  # pragma: no cover
         return False
 

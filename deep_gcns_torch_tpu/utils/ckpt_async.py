@@ -47,6 +47,8 @@ class AsyncCheckpointer:
         self._ocp = ocp
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._keep_best = keep_best
+        self._best_mode = best_mode
         best_fn = (lambda m: m.get("best", m.get("valid", 0.0))) if keep_best else None
         self._mgr = ocp.CheckpointManager(
             directory,
@@ -71,8 +73,13 @@ class AsyncCheckpointer:
         items = {"tree": ocp.args.StandardSave(tree)}
         if meta:
             items["meta"] = ocp.args.JsonSave(dict(meta))
-        self._mgr.save(step, args=ocp.args.Composite(**items),
-                       metrics=dict(metrics) if metrics else None)
+        metrics = dict(metrics) if metrics else None
+        if metrics is None and self._keep_best:
+            # best_fn is set: a metric-less save must not confuse orbax's
+            # best-step ordering — rank it strictly worse than any real metric.
+            sentinel = float("-inf") if self._best_mode == "max" else float("inf")
+            metrics = {"best": sentinel}
+        self._mgr.save(step, args=ocp.args.Composite(**items), metrics=metrics)
 
     def restore(self, step: Optional[int] = None, *, like: Dict[str, Any],
                 with_meta: bool = False):

@@ -23,16 +23,114 @@ def adam(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
+def _scale_by_radam_ref(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """Reference-exact RAdam direction (`utils/optim.py:106-142` update rule).
+
+    Matches the reference implementation bit-for-bit in f32 (up to associativity):
+      N_sma >= 5: step = lr·√((1−β2ᵗ)(N−4)/(Nmax−4)·(N−2)/N·Nmax/(Nmax−2))/(1−β1ᵗ)
+                  update = step · m / (√v + eps)        [eps OUTSIDE bias correction]
+      else:       update = lr/(1−β1ᵗ) · m               [un-rectified momentum]
+    optax.radam differs in eps placement (eps is added to the bias-corrected √v̂),
+    a ~√(1−β2ᵗ)-factor perturbation of eps; we keep the reference's exact form.
+    """
+
+    def init_fn(params):
+        return {
+            "step": jnp.zeros([], jnp.int32),
+            "m": jax.tree.map(jnp.zeros_like, params),
+            "v": jax.tree.map(jnp.zeros_like, params),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state["m"], updates)
+        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, state["v"], updates)
+        beta2_t = b2 ** tf
+        n_sma_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * tf * beta2_t / (1.0 - beta2_t)
+        bias1 = 1.0 - b1 ** tf
+        safe_n = jnp.maximum(n_sma, 5.0)  # rect only used when n_sma >= 5
+        rect = jnp.sqrt((1.0 - beta2_t) * (safe_n - 4.0) / (n_sma_max - 4.0)
+                        * (safe_n - 2.0) / safe_n * n_sma_max / (n_sma_max - 2.0))
+
+        def upd(mm, vv):
+            rectified = rect / bias1 * mm / (jnp.sqrt(vv) + eps)
+            plain = mm / bias1
+            return jnp.where(n_sma >= 5.0, rectified, plain)
+
+        new_updates = jax.tree.map(upd, m, v)
+        return new_updates, {"step": t, "m": m, "v": v}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def radam(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
-    return optax.radam(lr) if not weight_decay else optax.chain(
-        optax.radam(lr), optax.add_decayed_weights(weight_decay),
-        optax.scale(1.0))
+    """Reference RAdam (`utils/optim.py:76-144`): weight decay is decoupled AND
+    lr-scaled — `p ← p − wd·lr·p` before the step (`utils/optim.py:129-130`) — so
+    the decay term must ride inside the final −lr scaling, not be chained after it.
+    """
+    parts = [_scale_by_radam_ref()]
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_learning_rate(lr))  # scale(-lr)
+    return optax.chain(*parts)
 
 
-def adamw_warmup(lr: float, warmup_steps: int, total_steps: int,
+def adamw_warmup(lr: float, warmup_steps: int, total_steps: Optional[int] = None,
                  weight_decay: float = 0.01) -> optax.GradientTransformation:
-    sched = optax.linear_schedule(0.0, lr, max(warmup_steps, 1))
+    """AdamW with linear lr warmup; if `total_steps` is given the lr then decays
+    linearly to 0 over [warmup_steps, total_steps] (standard warmup+decay ramp).
+    For the reference's exact (quirky) rule see `adamw_ref`.
+    """
+    if total_steps is not None and total_steps > warmup_steps:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, max(warmup_steps, 1)),
+             optax.linear_schedule(lr, 0.0, total_steps - warmup_steps)],
+            [max(warmup_steps, 1)])
+    else:
+        sched = optax.linear_schedule(0.0, lr, max(warmup_steps, 1))
     return optax.adamw(sched, weight_decay=weight_decay)
+
+
+def adamw_ref(lr: float, warmup: int = 0, weight_decay: float = 0.0,
+              b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """Reference-exact AdamW (`utils/optim.py:146-205`). Quirk preserved: the
+    warmup schedule scales ONLY the weight-decay term (`:193-202` — `step_size`
+    uses the raw lr; `scheduled_lr` multiplies the decay), i.e.
+      p ← p − wd·sched(t)·p − lr·√(1−β2ᵗ)/(1−β1ᵗ) · m/(√v+eps).
+    """
+
+    def init_fn(params):
+        return {
+            "step": jnp.zeros([], jnp.int32),
+            "m": jax.tree.map(jnp.zeros_like, params),
+            "v": jax.tree.map(jnp.zeros_like, params),
+        }
+
+    def update_fn(updates, state, params=None):
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state["m"], updates)
+        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, state["v"], updates)
+        bias1 = 1.0 - b1 ** tf
+        bias2 = 1.0 - b2 ** tf
+        step_size = lr * jnp.sqrt(bias2) / bias1
+        sched_lr = jnp.where(tf <= warmup, 1e-8 + tf * lr / max(warmup, 1), lr) \
+            if warmup > 0 else jnp.asarray(lr, jnp.float32)
+
+        def upd(mm, vv, p):
+            decay = (weight_decay * sched_lr * p) if (weight_decay and p is not None) else 0.0
+            return -(step_size * mm / (jnp.sqrt(vv) + eps) + decay)
+
+        if weight_decay:
+            new_updates = jax.tree.map(upd, m, v, params)
+        else:
+            new_updates = jax.tree.map(lambda mm, vv: upd(mm, vv, None), m, v)
+        return new_updates, {"step": t, "m": m, "v": v}
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def sgd_cosine(lr: float, total_steps: int, momentum: float = 0.9,

@@ -57,3 +57,10 @@ class EdgeRateMeter:
 
     def rate(self) -> float:
         return self.edges / self.elapsed if self.elapsed > 0 else 0.0
+
+    @staticmethod
+    def fastpath_misses():
+        """Fused-kernel routing misses seen so far (route:reason → count) —
+        non-empty means some aggregation ran on the slow XLA fallback."""
+        from ..ops.segment import fastpath_misses
+        return fastpath_misses()

@@ -64,6 +64,39 @@ def add_deeper_gcn_flags(p: argparse.ArgumentParser, *, num_layers=28,
     return p
 
 
+def select_platform(args, *, attach_hint_s: float = 20.0):
+    """Apply --platform and probe the backend, flagging a stalled TPU attach.
+
+    Attaching to a TPU chip held by another process blocks indefinitely (one
+    process at a time over the tunnel) and the runtime exposes no connect
+    timeout, so run a watchdog: if the first device probe hasn't returned
+    after `attach_hint_s`, print an actionable hint pointing at
+    `--platform cpu`. Returns jax.devices().
+    """
+    import threading
+
+    import jax
+
+    if getattr(args, "platform", ""):
+        jax.config.update("jax_platforms", args.platform)
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(attach_hint_s):
+            print(
+                f"[examples] still attaching to the accelerator after "
+                f"{attach_hint_s:.0f}s — the TPU chip is likely held by another "
+                "process. Re-run with --platform cpu for a CPU smoke test, or "
+                "free the chip and retry.",
+                file=sys.stderr, flush=True)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    try:
+        return jax.devices()
+    finally:
+        done.set()
+
+
 def setup_experiment(args, name: str):
     from deep_gcns_torch_tpu.utils.logger import (ScalarLogger, create_exp_dir,
                                                   setup_logging)

@@ -9,7 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import EpochTimer, base_parser, setup_experiment  # noqa: E402
+from common import select_platform, EpochTimer, base_parser, setup_experiment  # noqa: E402
 
 
 def get_args():
@@ -42,8 +42,7 @@ def main():
     args = get_args()
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    select_platform(args)
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -11,6 +11,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+from common import select_platform  # noqa: E402
 from main import build_model, get_args  # noqa: E402
 from proteins_common import load_proteins  # noqa: E402
 
@@ -20,8 +21,7 @@ def main():
     assert args.pretrained_model, "--pretrained_model required"
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    select_platform(args)
     import jax.numpy as jnp
     import numpy as np
 

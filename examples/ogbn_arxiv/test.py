@@ -9,6 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import select_platform  # noqa: E402
 from main import get_args  # noqa: E402  (same flag surface)
 
 
@@ -17,8 +18,7 @@ def main():
     assert args.pretrained_model, "--pretrained_model required"
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    select_platform(args)
     import jax.numpy as jnp
     import numpy as np
 

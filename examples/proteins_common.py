@@ -56,12 +56,11 @@ def run_proteins(args, model_builder, name: str):
     follows the framework Module protocol and takes (x=species, node_feats=...,
     g) inputs."""
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    select_platform(args)
     import jax.numpy as jnp
     import optax
 
-    from common import EpochTimer, setup_experiment
+    from common import select_platform, EpochTimer, setup_experiment
     from deep_gcns_torch_tpu.data.partition import (generate_sub_graphs,
                                                     random_partition_graph,
                                                     scatter_predictions)

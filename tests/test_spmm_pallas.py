@@ -273,3 +273,31 @@ def test_gat_softmax_spmm(rng_np, with_drop):
     g2f, g2a = jax.grad(f_xla, argnums=(0, 1))(feat, attn)
     np.testing.assert_allclose(np.asarray(g1f), np.asarray(g2f), rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1a), np.asarray(g2a), rtol=5e-4, atol=1e-4)
+
+
+def test_bf16_den_backward_close_to_f32(rng_np):
+    """Parity-caveat bound check (COMPONENTS.md): on the bf16 compute path the
+    backward's softmax weights use a bf16-rounded denominator residual while the
+    forward used f32 — assert the resulting gradient perturbation stays within
+    the documented ~0.5% envelope so regressions in the bound are caught."""
+    g, x = _fused_setup(rng_np, n=250, e=1500, c=128, node_pad=256, edge_pad=1536)
+    # quantize inputs to bf16-representable values so the ONLY bf16 effect under
+    # test is the denominator residual rounding, not input rounding
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+    t0 = jnp.float32(1.0)
+    args = (jnp.asarray(g.senders), jnp.asarray(g.receivers), jnp.asarray(g.row_ptr),
+            jnp.asarray(g.csc_senders), jnp.asarray(g.csc_receivers),
+            jnp.asarray(g.csc_col_ptr))
+
+    def f(x_, dtype):
+        out = sp.fused_softmax_gather_agg(x_.astype(dtype), *args, t0, None, None,
+                                          1e-7, False, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(lambda x_: f(x_, jnp.float32))(x)
+    g16 = jax.grad(lambda x_: f(x_, jnp.bfloat16))(x)
+    g32 = np.asarray(g32)
+    g16 = np.asarray(g16, np.float32)
+    denom = np.linalg.norm(g32)
+    rel = np.linalg.norm(g16 - g32) / max(denom, 1e-30)
+    assert rel < 1.5e-2, f"bf16-path grad deviates {rel:.4f} rel-l2 from f32 path"
