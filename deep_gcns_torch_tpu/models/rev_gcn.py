@@ -70,7 +70,10 @@ class RevGCN(Module):
         enc_in = c.node_feat_dim + (c.in_channels if c.use_one_hot_encoding else 0)
         self._one_hot = Linear(c.in_channels, c.in_channels) if c.use_one_hot_encoding else None
         self._encoder = Linear(enc_in, c.hidden_channels)
-        self._edge_encoder = Linear(c.edge_feat_dim, c.hidden_channels)
+        # edge_feat_dim == 0 → no edge features in the task (e.g. arxiv-style
+        # node-only graphs under the reversible stack)
+        self._edge_encoder = (Linear(c.edge_feat_dim, c.hidden_channels)
+                              if c.edge_feat_dim else None)
         self._last_norm = make_norm(c.norm, c.hidden_channels)
         self._pred = Linear(c.hidden_channels, c.num_tasks)
 
@@ -81,7 +84,8 @@ class RevGCN(Module):
         if self._one_hot is not None:
             params["one_hot_encoder"], _ = self._one_hot.init(ks[0])
         params["encoder"], _ = self._encoder.init(ks[1])
-        params["edge_encoder"], _ = self._edge_encoder.init(ks[2])
+        if self._edge_encoder is not None:
+            params["edge_encoder"], _ = self._edge_encoder.init(ks[2])
         params["last_norm"], _ = self._last_norm.init(ks[3])
         params["pred"], _ = self._pred.init(ks[4])
         keys = jax.vmap(lambda i: jax.random.fold_in(ks[5], i))(
@@ -105,7 +109,7 @@ class RevGCN(Module):
         # -- edge embedding, replicated ×G (`:98-99`); the CSC-ordered twin rides
         # alongside so each group's GENConv can take the fused-kernel path
         edge_emb = edge_emb_csc = None
-        if g.edge_attr is not None:
+        if g.edge_attr is not None and self._edge_encoder is not None:
             edge_emb, _ = self._edge_encoder.apply(params["edge_encoder"], {},
                                                    g.edge_attr)
             edge_emb = jnp.concatenate([edge_emb] * c.group, axis=-1)

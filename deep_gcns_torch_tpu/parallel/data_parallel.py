@@ -61,7 +61,15 @@ def cluster_dp_train_step(
             return loss_fn(logits, labels, g.node_mask), new_state
 
         (loss, new_state), grads = jax.value_and_grad(lossf, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, axis)
+        # NB: grads of REPLICATED params inside shard_map come out ALREADY
+        # psum'd across devices (the transpose of the implicit pbroadcast) —
+        # lax.pmean on them is an identity on identical values, NOT a mean, so
+        # the old `pmean(grads)` silently trained with D×-scaled gradients.
+        # The cross-cluster mean is a plain divide; no collective needed.
+        # tests/test_rev_multichip.py pins this against a sequential
+        # mean-of-cluster-losses step.
+        n_rep = mesh.shape[axis]
+        grads = jax.tree_util.tree_map(lambda g_: g_ / n_rep, grads)
         loss = jax.lax.pmean(loss, axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -9,11 +9,24 @@ edge-partitioned across a device mesh and trained *exactly*:
   * nodes are sharded contiguously: device d owns rows [d·S, (d+1)·S);
   * each device owns every edge whose RECEIVER it owns (receivers re-indexed to the
     local shard; senders stay global), sorted by local receiver with a local CSR;
-  * per layer, node activations are all-gathered over ICI ([N, C] is small —
-    ogbn-proteins at C=64 is 34 MB — and XLA overlaps the collective with compute),
-    messages gather from the full table, aggregation lands on local receivers only;
-  * the all-gather's autodiff transpose is a reduce-scatter — gradients flow
-    exactly; parameter gradients are all-reduced.
+  * per layer, remote source activations cross ICI in one of two exchange modes:
+
+    - **halo** (default when cheaper): the host precomputes, per ordered device
+      pair (p → d), the boundary set H[p→d] = unique senders that d's edges need
+      from p.  Each layer, device p gathers its boundary rows into a [D, H_pad, C]
+      send buffer and ONE `all_to_all` delivers every boundary row to its
+      consumers; senders were re-indexed on the host into the device's extended
+      table [local S rows ‖ halo rows], so the message gather is local.  Comm
+      volume ∝ boundary size, NOT N (SURVEY §7 hard-part 4).  The collective's
+      autodiff transpose is the reverse all_to_all — gradients flow exactly.
+    - **allgather** (fallback; optimal for boundary-dense graphs): the full [N, C]
+      activation table is all-gathered per layer; the transpose is a
+      reduce-scatter.  On an ER-random graph every shard needs almost every other
+      node, so halo padding would exceed N and this path wins.
+
+    `exchange="auto"` picks per-graph from the static shard shapes
+    (D·H_pad vs (D−1)·S rows per device per layer).
+  * aggregation lands on local receivers only; parameter grads are all-reduced.
 
 No cross-partition edge is ever dropped: multi-chip output equals the single-chip
 model bit-for-bit (see tests/test_spatial.py oracle).
@@ -55,15 +68,28 @@ class SpatialShards:
     edge_mask: Array      # [D, E_pad]
     row_ptr: Array        # [D, S+1]
     node_mask: Array      # [D, S]
+    # halo-exchange aux (None when built with halo=False):
+    # senders re-indexed into the extended local table [S local ‖ D·H_pad halo]
+    senders_ext: Optional[Array] = None   # [D, E_pad] int32, sentinel = S + D·H_pad
+    # send_idx[p, d] = LOCAL rows device p sends to device d (0-padded)
+    send_idx: Optional[Array] = None      # [D, D, H_pad] int32
     shard_size: int = dataclasses.field(default=0, metadata=dict(static=True))
     num_nodes_padded: int = dataclasses.field(default=0, metadata=dict(static=True))
+    halo_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def halo_rows_per_device(self) -> int:
+        """Rows each device ships per layer on the halo path (incl. padding)."""
+        return (self.send_idx.shape[1] * self.halo_pad
+                if self.send_idx is not None else 0)
 
 
 def shard_graph(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
                 n_dev: int, *, edge_attr: Optional[np.ndarray] = None,
-                node_multiple: int = 256, edge_multiple: int = 512
-                ) -> SpatialShards:
-    """Build per-device shards (host side)."""
+                node_multiple: int = 256, edge_multiple: int = 512,
+                halo: bool = True, halo_multiple: int = 8) -> SpatialShards:
+    """Build per-device shards (host side); with halo=True also precompute the
+    boundary send/recv index sets for the halo-exchange path."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     S = ((num_nodes + n_dev * node_multiple - 1) // (n_dev * node_multiple)
@@ -101,9 +127,47 @@ def shard_graph(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
         RP[d, 1:] = np.cumsum(counts)
         lo, hi = d * S, min((d + 1) * S, num_nodes)
         NM[d, : max(hi - lo, 0)] = True
+
+    senders_ext = send_idx = None
+    h_pad = 0
+    if halo:
+        # halo_sets[d][p] = sorted unique GLOBAL senders that d's edges need from
+        # device p (p != d).  send_idx is its transpose view: rows p ships to d.
+        halo_sets = []
+        for d, (s_d, _, _) in enumerate(per_dev):
+            owners = s_d // S
+            halo_sets.append([
+                np.unique(s_d[owners == p]) if p != d else np.empty(0, np.int64)
+                for p in range(n_dev)])
+        h_max = max((len(hs) for sets in halo_sets for hs in sets), default=0)
+        h_pad = max(((h_max + halo_multiple - 1) // halo_multiple) * halo_multiple,
+                    halo_multiple)
+        ext_size = S + n_dev * h_pad
+        send_idx = np.zeros((n_dev, n_dev, h_pad), np.int32)
+        for d in range(n_dev):
+            for p in range(n_dev):
+                hs = halo_sets[d][p]
+                send_idx[p, d, : len(hs)] = hs - p * S
+        senders_ext = np.full((n_dev, e_pad), ext_size, np.int32)  # sentinel
+        for d, (s_d, _, _) in enumerate(per_dev):
+            ne = len(s_d)
+            owners = s_d // S
+            loc = np.empty(ne, np.int64)
+            for p in range(n_dev):
+                m = owners == p
+                if not m.any():
+                    continue
+                if p == d:
+                    loc[m] = s_d[m] - d * S
+                else:
+                    loc[m] = (S + p * h_pad
+                              + np.searchsorted(halo_sets[d][p], s_d[m]))
+            senders_ext[d, :ne] = loc
+
     return SpatialShards(senders=G_arr, receivers=S_arr, edge_attr=EA,
                          edge_mask=EM, row_ptr=RP, node_mask=NM,
-                         shard_size=S, num_nodes_padded=n_pad)
+                         senders_ext=senders_ext, send_idx=send_idx,
+                         shard_size=S, num_nodes_padded=n_pad, halo_pad=h_pad)
 
 
 def shard_nodes(x: np.ndarray, shards: SpatialShards) -> np.ndarray:
@@ -121,32 +185,69 @@ def shard_nodes(x: np.ndarray, shards: SpatialShards) -> np.ndarray:
 
 class SpatialDeeperGCN:
     """Parallel twin of models.DeeperGCN (same params/state pytrees — init with a
-    plain DeeperGCN): res+ blocks where each GENConv all-gathers activations over
-    `axis` and aggregates into the local receiver shard."""
+    plain DeeperGCN): res+/res/plain blocks where each GENConv exchanges boundary
+    activations over `axis` (halo all-to-all or full all-gather, see module doc)
+    and aggregates into the local receiver shard.
 
-    def __init__(self, cfg: DeeperGCNConfig, axis: str = "gp"):
-        assert cfg.block == "res+", "spatial path implements the res+ block"
-        assert not cfg.add_virtual_node
+    Graph-pooled workloads (ogbg_mol / ogbg_ppa virtual-node or pooling heads) are
+    many-small-graph batches — spatial partitioning of one graph does not apply;
+    use `parallel.cluster_dp_train_step` (one graph batch per device) for those.
+    """
+
+    def __init__(self, cfg: DeeperGCNConfig, axis: str = "gp",
+                 exchange: str = "auto"):
+        assert cfg.block in ("res+", "res", "plain"), (
+            f"spatial path implements res+/res/plain blocks, not {cfg.block!r}")
+        assert not cfg.add_virtual_node and not cfg.graph_pooling, (
+            "graph-pooled / virtual-node workloads are per-graph batches — use "
+            "parallel.cluster_dp_train_step instead of spatial partitioning")
+        assert exchange in ("auto", "halo", "allgather")
         self.cfg = cfg
         self.axis = axis
+        self.exchange = exchange
         self.inner = DeeperGCN(cfg)
 
     def init(self, key):
         return self.inner.init(key)
+
+    # -- boundary exchange ----------------------------------------------------
+    def _use_halo(self, sh: SpatialShards) -> bool:
+        if self.exchange == "allgather" or sh.send_idx is None:
+            return False
+        if self.exchange == "halo":
+            return True
+        # auto: halo wins when it ships fewer rows per device per layer than the
+        # all-gather ((D-1)·S); all quantities are static → decided at trace time.
+        d = sh.send_idx.shape[1]
+        return d * sh.halo_pad < (d - 1) * sh.shard_size
+
+    def _exchange(self, h_local, sh: SpatialShards):
+        """Return (source table, sender index array [E_pad]) for this device."""
+        if not self._use_halo(sh):
+            # full-table all-gather (bwd transposes to reduce-scatter)
+            h_full = jax.lax.all_gather(h_local, self.axis, axis=0, tiled=True)
+            return h_full, sh.senders[0]
+        # halo: gather my boundary rows per destination, one all-to-all delivers
+        # every boundary row to its consumers; extended table = [local ‖ halo].
+        my_send = sh.send_idx[0]                      # [D, H_pad] local rows
+        send_buf = jnp.take(h_local, my_send, axis=0)  # [D, H_pad, C]
+        recv = jax.lax.all_to_all(send_buf, self.axis, split_axis=0,
+                                  concat_axis=0, tiled=True)
+        h_ext = jnp.concatenate(
+            [h_local, recv.reshape(-1, h_local.shape[-1])], axis=0)
+        return h_ext, sh.senders_ext[0]
 
     # -- one GENConv on a shard --------------------------------------------
     def _gcn_apply(self, lp, ls, h_local, sh: SpatialShards, d_index, edge_emb,
                    train, rng, axis_name):
         cfg = self.cfg
         gcn = self.inner._gcn
-        # gather sources from the full activation table (all-gather over ICI;
-        # bwd transposes to reduce-scatter)
-        h_full = jax.lax.all_gather(h_local, self.axis, axis=0, tiled=True)
+        h_full, senders = self._exchange(h_local, sh)
         my = jax.tree_util.tree_map(lambda a: a[0], sh)  # strip device axis
         enc = gcn._edge_encoder()
         if edge_emb is None and enc is not None and my.edge_attr is not None:
             edge_emb, _ = enc.apply(lp["edge_encoder"], {}, my.edge_attr)
-        msg = jnp.take(h_full, jnp.minimum(my.senders, h_full.shape[0] - 1), axis=0)
+        msg = jnp.take(h_full, jnp.minimum(senders, h_full.shape[0] - 1), axis=0)
         if edge_emb is not None:
             msg = msg + edge_emb
         msg = jax.nn.relu(msg) + gcn.eps
@@ -187,41 +288,64 @@ class SpatialDeeperGCN:
             return jax.random.fold_in(jax.random.fold_in(rng, i), d_index)
 
         sl = inner._slice
-        h, gs0 = self._gcn_apply(sl(params["gcns"], 0), sl(state["gcns"], 0), h,
-                                 sh, d_index, edge_emb, train, layer_rng(0), axis)
+        if cfg.block == "res+":
+            h, gs0 = self._gcn_apply(sl(params["gcns"], 0), sl(state["gcns"], 0),
+                                     h, sh, d_index, edge_emb, train, layer_rng(0),
+                                     axis)
 
-        def body(carry, i):
-            h = carry
-            np_, ns_ = sl(params["norms"], i - 1), sl(state["norms"], i - 1)
-            gp_, gss = sl(params["gcns"], i), sl(state["gcns"], i)
-            r = layer_rng(i)
-            h1, ns_out = inner._norm.apply(np_, ns_, h, train=train, mask=my_mask,
-                                           axis_name=axis)
-            h2 = jax.nn.relu(h1)
-            h2 = dropout(h2, cfg.dropout, train=train,
-                         rng=None if r is None else jax.random.fold_in(r, 1))
-            res, gs_out = self._gcn_apply(gp_, gss, h2, sh, d_index, edge_emb,
-                                          train, r, axis)
-            return h + res, (ns_out, gs_out)
+            def body(carry, i):
+                h = carry
+                np_, ns_ = sl(params["norms"], i - 1), sl(state["norms"], i - 1)
+                gp_, gss = sl(params["gcns"], i), sl(state["gcns"], i)
+                r = layer_rng(i)
+                h1, ns_out = inner._norm.apply(np_, ns_, h, train=train,
+                                               mask=my_mask, axis_name=axis)
+                h2 = jax.nn.relu(h1)
+                h2 = dropout(h2, cfg.dropout, train=train,
+                             rng=None if r is None else jax.random.fold_in(r, 1))
+                res, gs_out = self._gcn_apply(gp_, gss, h2, sh, d_index, edge_emb,
+                                              train, r, axis)
+                return h + res, (ns_out, gs_out)
 
-        body_fn = jax.checkpoint(body) if cfg.remat else body
-        h, (norm_states, gcn_states) = jax.lax.scan(body_fn, h, jnp.arange(1, L))
+            body_fn = jax.checkpoint(body) if cfg.remat else body
+            h, (norm_states, gcn_states) = jax.lax.scan(body_fn, h,
+                                                        jnp.arange(1, L))
 
-        npL, nsL = sl(params["norms"], L - 1), sl(state["norms"], L - 1)
-        h1, nsL_out = inner._norm.apply(npL, nsL, h, train=train, mask=my_mask,
-                                        axis_name=axis)
-        h = jax.nn.relu(h1) if cfg.final_relu else h1
-        if cfg.final_dropout:
-            h = dropout(h, cfg.dropout, train=train, rng=layer_rng(L))
+            npL, nsL = sl(params["norms"], L - 1), sl(state["norms"], L - 1)
+            h1, nsL_out = inner._norm.apply(npL, nsL, h, train=train, mask=my_mask,
+                                            axis_name=axis)
+            h = jax.nn.relu(h1) if cfg.final_relu else h1
+            if cfg.final_dropout:
+                h = dropout(h, cfg.dropout, train=train, rng=layer_rng(L))
+            new_state = {
+                "gcns": jax.tree_util.tree_map(
+                    lambda first, rest: jnp.concatenate([first[None], rest], 0),
+                    gs0, gcn_states),
+                "norms": jax.tree_util.tree_map(
+                    lambda rest, last: jnp.concatenate([rest, last[None]], 0),
+                    norm_states, nsL_out),
+            }
+        else:  # res / plain (`ogbn_arxiv/model.py:111-130` semantics)
+            def body(carry, i):
+                h = carry
+                gp_, gss = sl(params["gcns"], i), sl(state["gcns"], i)
+                np_, ns_ = sl(params["norms"], i), sl(state["norms"], i)
+                r = layer_rng(i)
+                h1, gs_out = self._gcn_apply(gp_, gss, h, sh, d_index, edge_emb,
+                                             train, r, axis)
+                h2, ns_out = inner._norm.apply(np_, ns_, h1, train=train,
+                                               mask=my_mask, axis_name=axis)
+                h3 = jax.nn.relu(h2)
+                h_out = h3 + h if cfg.block == "res" else h3
+                h_out = dropout(h_out, cfg.dropout, train=train,
+                                rng=None if r is None else jax.random.fold_in(r, 1))
+                return h_out, (ns_out, gs_out)
+
+            body_fn = jax.checkpoint(body) if cfg.remat else body
+            h, (norm_states, gcn_states) = jax.lax.scan(body_fn, h, jnp.arange(L))
+            new_state = {"gcns": gcn_states, "norms": norm_states}
+
         out, _ = inner._pred.apply(params["pred"], {}, h)
-        new_state = {
-            "gcns": jax.tree_util.tree_map(
-                lambda first, rest: jnp.concatenate([first[None], rest], 0),
-                gs0, gcn_states),
-            "norms": jax.tree_util.tree_map(
-                lambda rest, last: jnp.concatenate([rest, last[None]], 0),
-                norm_states, nsL_out),
-        }
         return out, new_state
 
 
@@ -256,7 +380,10 @@ def spatial_train_step(model: SpatialDeeperGCN, tx, loss_fn, mesh: Mesh,
             return ls / jnp.maximum(cnt, 1.0), s2
 
         (loss, s2), grads = jax.value_and_grad(lossf, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, axis)
+        # the loss is already globally reduced (psum inside lossf), and grads of
+        # replicated params leave shard_map autodiff ALREADY psum'd across
+        # devices (transpose of the implicit pbroadcast) — exactly the total
+        # dL/dp this step needs; no further collective.
         updates, opt2 = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, s2, opt2, loss

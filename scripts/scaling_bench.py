@@ -1,20 +1,42 @@
-"""Edges/s scaling harness for spatial (edge-partitioned) parallelism.
+"""Edges/s + comm-volume scaling harness for spatial (edge-partitioned) parallelism.
 
 Measures the BASELINE.json scaling metric: aggregated edge-messages/s of a
-DeeperGCN train step at 1 device vs N devices on the available mesh, and reports
-the scaling efficiency. On this environment only one real chip exists, so the
-multi-device rows run on a virtual CPU mesh (functional validation + a real-mesh
-recipe); on a v5e-16 slice the same script measures the true host→pod efficiency.
+DeeperGCN train step at 1 device vs N devices on the available mesh, the scaling
+efficiency, and — for the halo-exchange path — the per-layer communication volume,
+which must grow with the partition BOUNDARY, not with N (SURVEY §7 hard-part 4).
 
-Run: python scripts/scaling_bench.py [--devices 8] [--platform cpu]
+On this environment only one real chip exists, so the multi-device rows run on a
+virtual CPU mesh (functional + comm-volume validation; step-time efficiency on a
+CPU mesh is not an ICI measurement); on a v5e-16 slice the same script measures
+the true host→pod efficiency.
+
+Run: python scripts/scaling_bench.py --platform cpu --devices 8 \
+        [--locality 0.95] [--json SCALING.json]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def community_graph(rng, n, avg_degree, locality, blocks=16):
+    """Edges intra-community w.p. `locality` (contiguous communities — the layout
+    a locality-aware partitioner produces), uniform-random otherwise."""
+    import numpy as np
+
+    e = n * avg_degree
+    bs = n // blocks
+    src = rng.integers(0, n, e)
+    intra = rng.random(e) < locality
+    dst = rng.integers(0, n, e)
+    b = src // bs
+    off = rng.integers(0, bs, e)
+    dst = np.where(intra, np.minimum(b * bs + off, n - 1), dst)
+    return src, dst
 
 
 def main():
@@ -26,6 +48,11 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--layers", type=int, default=14)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--locality", type=float, default=0.95,
+                    help="fraction of intra-community edges (0 = ER-random)")
+    ap.add_argument("--exchange", type=str, default="auto")
+    ap.add_argument("--json", type=str, default="",
+                    help="write results to this JSON file")
     args = ap.parse_args()
 
     import jax
@@ -48,8 +75,11 @@ def main():
     n_max = args.devices or n_avail
     rng = np.random.default_rng(0)
     n, e = args.nodes, args.nodes * args.avg_degree
-    senders = rng.integers(0, n, e)
-    receivers = rng.integers(0, n, e)
+    if args.locality > 0:
+        senders, receivers = community_graph(rng, n, args.avg_degree, args.locality)
+    else:
+        senders = rng.integers(0, n, e)
+        receivers = rng.integers(0, n, e)
     x_np = rng.standard_normal((n, args.hidden)).astype(np.float32)
     lab_np = rng.integers(0, 16, n)
 
@@ -63,12 +93,16 @@ def main():
         m = m.astype(nll.dtype)
         return jnp.sum(nll * m), jnp.sum(m)
 
-    results = {}
+    bpr = args.hidden * 4  # bytes/row f32
+    results, rows = {}, []
     sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_max]
     for d in sizes:
-        model = SpatialDeeperGCN(cfg, axis="gp")
+        model = SpatialDeeperGCN(cfg, axis="gp", exchange=args.exchange)
         params, state = model.init(jax.random.PRNGKey(0))
         shards = shard_graph(senders, receivers, n, d)
+        use_halo = d > 1 and model._use_halo(shards)
+        halo_rows = int(shards.halo_rows_per_device)
+        ag_rows = (d - 1) * shards.shard_size
         xs = jnp.asarray(shard_nodes(x_np, shards))
         lab = jnp.asarray(shard_nodes(lab_np[:, None].astype(np.int32),
                                       shards)[..., 0])
@@ -90,9 +124,29 @@ def main():
         rate = e * args.layers / dt
         results[d] = rate
         eff = rate / (results[1] * d) if 1 in results and d > 1 else 1.0
+        mode = "halo" if use_halo else ("local" if d == 1 else "allgather")
+        comm_rows = halo_rows if use_halo else (ag_rows if d > 1 else 0)
         print(f"devices={d:2d}  step={dt * 1000:7.1f} ms  "
-              f"rate={rate / 1e6:8.2f} M edge-msg/s  efficiency={eff:5.1%}",
-              flush=True)
+              f"rate={rate / 1e6:8.2f} M edge-msg/s  efficiency={eff:5.1%}  "
+              f"exchange={mode:9s}  comm={comm_rows * bpr / 1e6:7.2f} MB/layer/dev "
+              f"(allgather would be {ag_rows * bpr / 1e6:.2f})", flush=True)
+        rows.append(dict(devices=d, step_ms=round(dt * 1e3, 2),
+                         edge_msgs_per_s=round(rate), efficiency=round(eff, 4),
+                         exchange=mode, shard_size=int(shards.shard_size),
+                         halo_pad=int(shards.halo_pad),
+                         comm_rows_per_layer_per_dev=int(comm_rows),
+                         allgather_rows_per_layer_per_dev=int(ag_rows),
+                         comm_mb_per_layer_per_dev=round(comm_rows * bpr / 1e6, 3)))
+
+    if args.json:
+        out = dict(nodes=n, edges=int(e), hidden=args.hidden, layers=args.layers,
+                   locality=args.locality, platform=jax.devices()[0].platform,
+                   note=("multi-device rows on a virtual CPU mesh: comm volume is "
+                         "exact; step-time efficiency is not an ICI measurement"),
+                   rows=rows)
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

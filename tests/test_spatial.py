@@ -37,10 +37,14 @@ def single_chip_logits(x, s, r, ea, cfg, params, state, n):
     return np.asarray(y)[:n]
 
 
-def test_spatial_forward_matches_single_chip(rng_np):
+import pytest
+
+
+@pytest.mark.parametrize("exchange", ["halo", "allgather"])
+def test_spatial_forward_matches_single_chip(rng_np, exchange):
     n = 900
     x, s, r, ea, cfg = setup(rng_np, n=n)
-    model = SpatialDeeperGCN(cfg)
+    model = SpatialDeeperGCN(cfg, exchange=exchange)
     params, state = model.init(jax.random.PRNGKey(0))
 
     shards = shard_graph(s, r, n, N_DEV, edge_attr=ea)
@@ -52,6 +56,24 @@ def test_spatial_forward_matches_single_chip(rng_np):
 
     want = single_chip_logits(x, s, r, ea, cfg, params, state, n)
     np.testing.assert_allclose(out_full, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("block", ["res", "plain"])
+def test_spatial_res_plain_blocks_match_single_chip(rng_np, block):
+    n = 700
+    x, s, r, ea, cfg = setup(rng_np, n=n)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, block=block)
+    model = SpatialDeeperGCN(cfg, exchange="halo")
+    params, state = model.init(jax.random.PRNGKey(4))
+    shards = shard_graph(s, r, n, N_DEV)
+    xs = jnp.asarray(shard_nodes(x, shards))
+    mesh = make_mesh(("gp",), devices=jax.devices()[:N_DEV])
+    out = np.asarray(spatial_forward(model, mesh)(
+        params, state, xs, jax.device_put(shards)))
+    want = single_chip_logits(x, s, r, None, cfg, params, state, n)
+    np.testing.assert_allclose(out.reshape(-1, cfg.num_tasks)[:n], want,
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_spatial_forward_with_edge_attrs(rng_np):
