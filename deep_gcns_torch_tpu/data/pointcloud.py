@@ -135,3 +135,65 @@ def batch_iter(rng: np.random.Generator, data: np.ndarray, labels: np.ndarray,
         if augment:
             x = translate_point_cloud(rng, x)
         yield x, labels[b]
+
+
+# ---------------------------------------------------------------------------
+# PartNet sem_seg_h5 (`utils/data_util.py:98-234`, sem_seg_h5 branch)
+# ---------------------------------------------------------------------------
+
+def load_partnet(root: str, obj_category: str = "Bed", level: int = 3,
+                 phase: str = "train"):
+    """PartNet semantic-segmentation h5 → (points [S, N, 3] f32, labels [S, N] i64).
+
+    Mirrors the reference PartNet dataset's sem_seg_h5 branch
+    (`utils/data_util.py:216-234`): files live at
+    `{root}/sem_seg_h5/{obj_category}-{level}/{phase}-*.h5` with datasets
+    'data' [B, N, 3] and 'label_seg' [B, N].  (The reference wraps each object
+    into a PyG Data and collates; here objects stay a padded dense array — the
+    dense B×N×C layout the TPU path consumes directly.)
+    """
+    import h5py  # gated import
+
+    obj = f"{obj_category}-{level}"
+    pat = os.path.join(root, "sem_seg_h5", obj, f"{phase}-*.h5")
+    files = sorted(glob.glob(pat))
+    if not files:
+        raise FileNotFoundError(
+            f"No PartNet h5 files under {pat}; download requires application "
+            "(https://cs.stanford.edu/~kaichun/partnet/) — or pass --synthetic.")
+    pts, labels = [], []
+    for f in files:
+        with h5py.File(f, "r") as h:
+            pts.append(np.asarray(h["data"], np.float32)[..., :3])
+            labels.append(np.asarray(h["label_seg"], np.int64))
+    return np.concatenate(pts, 0), np.concatenate(labels, 0)
+
+
+def write_partnet_h5(root: str, obj_category: str, level: int, phase: str,
+                     points: np.ndarray, labels: np.ndarray,
+                     shapes_per_file: int = 0) -> list:
+    """Write PartNet-layout h5 files (the reference's expected on-disk format) —
+    used to build test fixtures and to convert foreign caches."""
+    import h5py
+
+    d = os.path.join(root, "sem_seg_h5", f"{obj_category}-{level}")
+    os.makedirs(d, exist_ok=True)
+    n = len(points)
+    per = shapes_per_file or n
+    paths = []
+    for i, lo in enumerate(range(0, n, per)):
+        path = os.path.join(d, f"{phase}-{i:02d}.h5")
+        with h5py.File(path, "w") as h:
+            h.create_dataset("data", data=np.asarray(points[lo:lo + per], np.float32))
+            h.create_dataset("label_seg", data=np.asarray(labels[lo:lo + per], np.int64))
+        paths.append(path)
+    return paths
+
+
+def synthetic_partnet(rng: np.random.Generator, n_shapes: int = 32,
+                      num_points: int = 1024, n_classes: int = 10):
+    """Angular-sector part labels (learnable from geometry) — PartNet stand-in."""
+    pts = rng.standard_normal((n_shapes, num_points, 3)).astype(np.float32)
+    ang = np.arctan2(pts[..., 1], pts[..., 0])
+    lab = ((ang + np.pi) / (2 * np.pi) * n_classes).astype(np.int64)
+    return pts, np.clip(lab, 0, n_classes - 1)

@@ -151,3 +151,36 @@ def hits_at_k(pos_scores: np.ndarray, neg_scores: np.ndarray, k: int) -> float:
         return 1.0
     thresh = neg_sorted[k - 1]
     return float((np.asarray(pos_scores) > thresh).mean())
+
+
+def part_seg_miou(preds: np.ndarray, labels: np.ndarray, n_classes: int):
+    """PartNet protocol (`examples/part_sem_seg/main.py:102-148`): returns
+    (mean_part_iou, shape_mIoU).  Per shape, IoU is averaged over classes with
+    non-empty union; part IoU accumulates I/U per class over all shapes and
+    averages over classes EXCLUDING class 0 (the reference's `part_iou =
+    np.divide(part_intersect[1:], part_union[1:])` — class 0 is 'other')."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    part_i = np.zeros(n_classes, np.float64)
+    part_u = np.zeros(n_classes, np.float64)
+    shape_tot, shape_cnt = 0.0, 0
+    for p, l in zip(preds, labels):
+        cur_tot, cur_cnt = 0.0, 0
+        for c in range(n_classes):
+            pi = p == c
+            li = l == c
+            inter = float(np.logical_and(pi, li).sum())
+            union = float(np.logical_or(pi, li).sum())
+            if union > 0:
+                part_i[c] += inter
+                part_u[c] += union
+                cur_tot += inter / union
+                cur_cnt += 1
+        if cur_cnt > 0:
+            shape_tot += cur_tot / cur_cnt
+            shape_cnt += 1
+    shape_miou = shape_tot / shape_cnt if shape_cnt else 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        part_iou = part_i[1:] / part_u[1:]
+    mean_part_iou = float(np.nanmean(part_iou)) if len(part_iou) else 0.0
+    return mean_part_iou, float(shape_miou)
