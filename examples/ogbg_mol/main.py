@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
 
 
-def get_args():
+def get_args(argv=None):
     p = base_parser("DeeperGCN on ogbg-mol (TPU)")
     add_deeper_gcn_flags(p, num_layers=7, hidden=256, norm="batch", t=1.0,
                          aggr="softmax")
@@ -26,7 +26,7 @@ def get_args():
     p.add_argument("--conv_encode_edge", action="store_true", default=True)
     p.add_argument("--grad_clip", type=float, default=0.0)
     p.set_defaults(epochs=300, lr=0.01, dropout=0.5)
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def load_mol(args, rng):
@@ -62,40 +62,12 @@ def load_mol(args, rng):
     raise FileNotFoundError("ogbg-mol requires a local cache; pass --synthetic")
 
 
-def main():
-    args = get_args()
-    import jax
-
-    select_platform(args)
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
-
+def build_model(args):
     from deep_gcns_torch_tpu.data.ogb_features import (ATOM_FEATURE_DIMS,
                                                        BOND_FEATURE_DIMS)
-    from deep_gcns_torch_tpu.graph import batch_graphs
     from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
-    from deep_gcns_torch_tpu.utils.loss import bce_with_logits
-    from deep_gcns_torch_tpu.utils.metrics import average_precision, roc_auc
 
-    exp, logger, scalars = setup_experiment(args, "ogbg_mol")
-    rng = np.random.default_rng(args.seed)
-    train_gs, test_gs = load_mol(args, rng)
-
-    B = args.batch_size
-    node_pad = ((max(g["x"].shape[0] for g in train_gs + test_gs) * B + 255)
-                // 256) * 256
-    edge_pad = ((max(len(g["senders"]) for g in train_gs + test_gs) * B + 511)
-                // 512) * 512
-
-    def make_batch(gs):
-        gr = batch_graphs([dict(x=g["x"], senders=g["senders"],
-                                receivers=g["receivers"], edge_attr=g["edge_attr"])
-                           for g in gs], node_pad=node_pad, edge_pad=edge_pad)
-        y = np.stack([g["y"] for g in gs])
-        return gr, jnp.asarray(y)
-
-    model = DeeperGCN(DeeperGCNConfig(
+    return DeeperGCN(DeeperGCNConfig(
         in_channels=0, hidden_channels=args.hidden_channels,
         num_tasks=args.num_tasks, num_layers=args.num_layers, block=args.block,
         aggr=args.gcn_aggr, t=args.t, learn_t=args.learn_t, p=args.p,
@@ -107,6 +79,48 @@ def main():
         bond_feature_dims=BOND_FEATURE_DIMS,
         graph_pooling=args.graph_pooling,
         add_virtual_node=args.add_virtual_node, final_relu=False))
+
+
+def make_batcher(args, all_gs):
+    """Fixed-bucket block-diagonal batcher over a graph list."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deep_gcns_torch_tpu.graph import batch_graphs
+
+    B = args.batch_size
+    node_pad = ((max(g["x"].shape[0] for g in all_gs) * B + 255) // 256) * 256
+    edge_pad = ((max(len(g["senders"]) for g in all_gs) * B + 511) // 512) * 512
+
+    def make_batch(gs):
+        gr = batch_graphs([dict(x=g["x"], senders=g["senders"],
+                                receivers=g["receivers"], edge_attr=g["edge_attr"])
+                           for g in gs], node_pad=node_pad, edge_pad=edge_pad)
+        y = np.stack([g["y"] for g in gs])
+        return gr, jnp.asarray(y)
+
+    return make_batch
+
+
+def main():
+    args = get_args()
+    import jax
+
+    select_platform(args)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
+    from deep_gcns_torch_tpu.utils.loss import bce_with_logits
+    from deep_gcns_torch_tpu.utils.metrics import average_precision, roc_auc
+
+    exp, logger, scalars = setup_experiment(args, "ogbg_mol")
+    rng = np.random.default_rng(args.seed)
+    train_gs, test_gs = load_mol(args, rng)
+    B = args.batch_size
+    make_batch = make_batcher(args, train_gs + test_gs)
+    model = build_model(args)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.adam(args.lr)
     if args.grad_clip:
@@ -148,7 +162,10 @@ def main():
             preds.append(np.asarray(predict(params, state, jax.device_put(gr))))
             ys.append(np.asarray(y))
         m = metric(np.concatenate(preds), np.concatenate(ys))
-        best = max(best, m)
+        if m > best:
+            best = m
+            save_ckpt(os.path.join(exp, "ckpt_best"), params=params, state=state,
+                      epoch=epoch, best_value=best)
         logger.info("epoch %d loss %.4f metric %.4f (%.1fs)", epoch,
                     float(np.mean(losses)), m, timer.lap())
         scalars.log(epoch, loss=float(np.mean(losses)), metric=m)

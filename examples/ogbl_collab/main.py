@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
 
 
-def get_args():
+def get_args(argv=None):
     p = base_parser("DeeperGCN on ogbl-collab (TPU)")
     add_deeper_gcn_flags(p, num_layers=3, hidden=64, norm="batch", t=1.0,
                          aggr="softmax")
@@ -22,7 +22,43 @@ def get_args():
     p.add_argument("--hits_k", type=int, default=50)
     p.add_argument("--batch_edges", type=int, default=8192)
     p.set_defaults(epochs=400, lr=0.001, dropout=0.0)
-    return p.parse_args()
+    return p.parse_args(argv)
+
+
+def load_data(args, rng):
+    """(graph, train_pos, val_pos, n, in_dim): message-passing graph + held-out
+    positive edges (`ogbl_collab/main.py` splits)."""
+    import numpy as np
+
+    from deep_gcns_torch_tpu.data.synthetic import sbm_arxiv_like
+
+    if not args.synthetic:
+        raise FileNotFoundError("ogbl-collab needs a local cache; pass --synthetic")
+    n = args.synthetic_nodes
+    g, _ = sbm_arxiv_like(rng, n=n, num_classes=8, c=64, avg_degree=8)
+    em = np.asarray(g.edge_mask)
+    s_all = np.asarray(g.senders)[em]
+    r_all = np.asarray(g.receivers)[em]
+    perm = rng.permutation(len(s_all))
+    n_val = len(perm) // 10
+    val_pos = (s_all[perm[:n_val]], r_all[perm[:n_val]])
+    train_pos = (s_all[perm[n_val:]], r_all[perm[n_val:]])
+    return g, train_pos, val_pos, n, 64
+
+
+def build_models(args, in_dim):
+    from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
+    from deep_gcns_torch_tpu.models.link_predictor import LinkPredictor
+
+    model = DeeperGCN(DeeperGCNConfig(
+        in_channels=in_dim, hidden_channels=args.hidden_channels,
+        num_tasks=args.hidden_channels,  # encoder returns h (`model.py:76-125`)
+        num_layers=args.num_layers, block=args.block, aggr=args.gcn_aggr,
+        t=args.t, learn_t=args.learn_t, norm=args.norm,
+        mlp_layers=args.mlp_layers, dropout=args.dropout))
+    predictor = LinkPredictor(args.hidden_channels, args.hidden_channels, 1,
+                              args.lp_num_layers, args.lp_norm, args.dropout)
+    return model, predictor
 
 
 def main():
@@ -34,36 +70,13 @@ def main():
     import numpy as np
     import optax
 
-    from deep_gcns_torch_tpu.data.synthetic import sbm_arxiv_like
-    from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
-    from deep_gcns_torch_tpu.models.link_predictor import LinkPredictor
+    from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
     from deep_gcns_torch_tpu.utils.metrics import hits_at_k
 
     exp, logger, scalars = setup_experiment(args, "ogbl_collab")
     rng = np.random.default_rng(args.seed)
-
-    if not args.synthetic:
-        raise FileNotFoundError("ogbl-collab needs a local cache; pass --synthetic")
-    n = args.synthetic_nodes
-    g, _ = sbm_arxiv_like(rng, n=n, num_classes=8, c=64, avg_degree=8)
-    in_dim = 64
-    # positive edges = a held-out sample of true edges; negatives random
-    em = np.asarray(g.edge_mask)
-    s_all = np.asarray(g.senders)[em]
-    r_all = np.asarray(g.receivers)[em]
-    perm = rng.permutation(len(s_all))
-    n_val = len(perm) // 10
-    val_pos = (s_all[perm[:n_val]], r_all[perm[:n_val]])
-    train_pos = (s_all[perm[n_val:]], r_all[perm[n_val:]])
-
-    model = DeeperGCN(DeeperGCNConfig(
-        in_channels=in_dim, hidden_channels=args.hidden_channels,
-        num_tasks=args.hidden_channels,  # encoder returns h (`model.py:76-125`)
-        num_layers=args.num_layers, block=args.block, aggr=args.gcn_aggr,
-        t=args.t, learn_t=args.learn_t, norm=args.norm,
-        mlp_layers=args.mlp_layers, dropout=args.dropout))
-    predictor = LinkPredictor(args.hidden_channels, args.hidden_channels, 1,
-                              args.lp_num_layers, args.lp_norm, args.dropout)
+    g, train_pos, val_pos, n, in_dim = load_data(args, rng)
+    model, predictor = build_models(args, in_dim)
     k0, k1 = jax.random.split(jax.random.PRNGKey(args.seed))
     params, state = jax.jit(model.init)(k0)
     lp_params, lp_state = predictor.init(k1)
@@ -118,7 +131,10 @@ def main():
                                       jnp.asarray(rng.integers(0, n, nneg)),
                                       jnp.asarray(rng.integers(0, n, nneg))))
             hits = hits_at_k(pos_sc, neg_sc, args.hits_k)
-            best = max(best, hits)
+            if hits > best:
+                best = hits
+                save_ckpt(os.path.join(exp, "ckpt_best"), params=all_params,
+                          state=state, epoch=epoch, best_value=best)
             logger.info("epoch %d loss %.4f Hits@%d %.4f (%.1fs)", epoch,
                         float(loss), args.hits_k, hits, timer.lap())
             scalars.log(epoch, loss=float(loss), hits=hits)

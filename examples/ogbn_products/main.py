@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
 
 
-def get_args():
+def get_args(argv=None):
     p = base_parser("DeeperGCN on ogbn-products (TPU)")
     add_deeper_gcn_flags(p, num_layers=14, hidden=128, norm="batch", t=0.1,
                          aggr="softmax_sg")
@@ -23,7 +23,68 @@ def get_args():
     p.add_argument("--eval_cluster_number", type=int, default=5)
     p.add_argument("--eval_every", type=int, default=5)
     p.set_defaults(epochs=500, lr=0.001, dropout=0.5)
-    return p.parse_args()
+    return p.parse_args(argv)
+
+
+def load_data(args, rng):
+    """(x, senders, receivers, labels, splits, in_dim, n)."""
+    import numpy as np
+
+    if args.synthetic:
+        from deep_gcns_torch_tpu.data.synthetic import sbm_arxiv_like
+
+        n = args.synthetic_nodes
+        g_full, labels = sbm_arxiv_like(rng, n=n, num_classes=args.num_classes,
+                                        c=100, avg_degree=10)
+        em = np.asarray(g_full.edge_mask)
+        senders = np.asarray(g_full.senders)[em]
+        receivers = np.asarray(g_full.receivers)[em]
+        x = np.asarray(g_full.x)[:n]
+        perm = rng.permutation(n)
+        splits = {"train": perm[: int(0.1 * n)],
+                  "valid": perm[int(0.1 * n): int(0.2 * n)],
+                  "test": perm[int(0.2 * n):]}
+        return x, senders, receivers, np.asarray(labels), splits, 100, n
+    from deep_gcns_torch_tpu.data.ogb import load_ogb_node
+
+    ds = load_ogb_node("ogbn-products", args.data_root)
+    return (ds.x, ds.senders, ds.receivers, ds.labels, ds.splits,
+            ds.x.shape[1], len(ds.x))
+
+
+def build_model(args, in_dim):
+    from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
+
+    return DeeperGCN(DeeperGCNConfig(
+        in_channels=in_dim, hidden_channels=args.hidden_channels,
+        num_tasks=args.num_classes, num_layers=args.num_layers, block=args.block,
+        aggr=args.gcn_aggr, t=args.t, learn_t=args.learn_t, norm=args.norm,
+        mlp_layers=args.mlp_layers, dropout=args.dropout))
+
+
+def eval_partitioned(args, predict, params, state, x, senders, receivers, n,
+                     lab_onecol, train_mask_full, seed=777):
+    """Fixed-partition eval: per-cluster forward + prediction reassembly
+    (replaces the reference's full-batch-on-CPU eval, `main.py:19-23`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deep_gcns_torch_tpu.data.partition import (generate_sub_graphs,
+                                                    random_partition_graph,
+                                                    scatter_predictions)
+
+    ncl = args.eval_cluster_number
+    node_pad = ((n // ncl + 1023) // 256 + 1) * 256
+    parts = random_partition_graph(np.random.default_rng(seed), n, ncl)
+    graphs, node_lists, feats = generate_sub_graphs(
+        senders, receivers, parts, ncl,
+        node_feats=[x, lab_onecol, train_mask_full.astype(np.float32)[:, None]],
+        node_pad=node_pad)
+    preds = [np.asarray(predict(params, state, jax.device_put(g),
+                                jnp.asarray(f[0])))
+             for g, f in zip(graphs, feats)]
+    return scatter_predictions(preds, node_lists, n)
 
 
 def main():
@@ -36,43 +97,16 @@ def main():
     import optax
 
     from deep_gcns_torch_tpu.data.partition import (generate_sub_graphs,
-                                                    random_partition_graph,
-                                                    scatter_predictions)
-    from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
+                                                    random_partition_graph)
+    from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
     from deep_gcns_torch_tpu.utils.loss import cross_entropy
     from deep_gcns_torch_tpu.utils.metrics import accuracy
 
     exp, logger, scalars = setup_experiment(args, "ogbn_products")
     rng = np.random.default_rng(args.seed)
+    x, senders, receivers, labels, splits, in_dim, n = load_data(args, rng)
 
-    if args.synthetic:
-        from deep_gcns_torch_tpu.data.synthetic import sbm_arxiv_like
-
-        n = args.synthetic_nodes
-        g_full, labels = sbm_arxiv_like(rng, n=n, num_classes=args.num_classes,
-                                        c=100, avg_degree=10)
-        em = np.asarray(g_full.edge_mask)
-        senders = np.asarray(g_full.senders)[em]
-        receivers = np.asarray(g_full.receivers)[em]
-        x = np.asarray(g_full.x)[:n]
-        in_dim = 100
-        perm = rng.permutation(n)
-        splits = {"train": perm[: int(0.1 * n)],
-                  "valid": perm[int(0.1 * n): int(0.2 * n)],
-                  "test": perm[int(0.2 * n):]}
-    else:
-        from deep_gcns_torch_tpu.data.ogb import load_ogb_node
-
-        ds = load_ogb_node("ogbn-products", args.data_root)
-        senders, receivers, x = ds.senders, ds.receivers, ds.x
-        labels, splits, in_dim = ds.labels, ds.splits, ds.x.shape[1]
-        n = len(x)
-
-    model = DeeperGCN(DeeperGCNConfig(
-        in_channels=in_dim, hidden_channels=args.hidden_channels,
-        num_tasks=args.num_classes, num_layers=args.num_layers, block=args.block,
-        aggr=args.gcn_aggr, t=args.t, learn_t=args.learn_t, norm=args.norm,
-        mlp_layers=args.mlp_layers, dropout=args.dropout))
+    model = build_model(args, in_dim)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
@@ -125,16 +159,15 @@ def main():
                 jnp.asarray(f[2][:, 0] > 0) & g.node_mask, sub)
             losses.append(float(loss))
         if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
-            parts = random_partition_graph(np.random.default_rng(777), n,
-                                           args.eval_cluster_number)
-            graphs, node_lists, feats = clusters(parts, args.eval_cluster_number)
-            preds = [np.asarray(predict(params, state, jax.device_put(g),
-                                        jnp.asarray(f[0])))
-                     for g, f in zip(graphs, feats)]
-            full = scatter_predictions(preds, node_lists, n).argmax(-1)
+            full = eval_partitioned(args, predict, params, state, x, senders,
+                                    receivers, n, lab_onecol,
+                                    train_mask_full).argmax(-1)
             accs = {k: accuracy(full[idx], np.asarray(labels)[idx])
                     for k, idx in splits.items()}
-            best_valid = max(best_valid, accs["valid"])
+            if accs["valid"] > best_valid:
+                best_valid = accs["valid"]
+                save_ckpt(os.path.join(exp, "ckpt_best"), params=params,
+                          state=state, epoch=epoch, best_value=best_valid)
             logger.info("epoch %d loss %.4f train %.4f valid %.4f test %.4f (%.1fs)",
                         epoch, float(np.mean(losses)), accs["train"],
                         accs["valid"], accs["test"], timer.lap())

@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import select_platform, EpochTimer, base_parser, setup_experiment  # noqa: E402
 
 
-def get_args():
+def get_args(argv=None):
     p = base_parser("DeepGCN on PPI (TPU)")
     p.add_argument("--block", type=str, default="res")
     p.add_argument("--conv", type=str, default="mr")
@@ -28,7 +28,7 @@ def get_args():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--lr_patience", type=int, default=10)
     p.set_defaults(epochs=2000, lr=0.002, dropout=0.2)
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def load_ppi(args, rng):
@@ -57,33 +57,42 @@ def load_ppi(args, rng):
         return make(8), make(2), make(2)
     path = os.path.join(args.data_root, "ppi.npz")
     if not os.path.exists(path):
-        raise FileNotFoundError(f"no PPI cache at {path}; pass --synthetic")
+        # raw GraphSAGE layout present? convert it in place (the reference
+        # reads it via PyG's PPI dataset, `examples/ppi/main.py:5,120-142`)
+        raw = os.path.join(args.data_root, "ppi_raw")
+        if os.path.exists(os.path.join(raw, "train_graph.json")):
+            from deep_gcns_torch_tpu.data.ppi import convert_ppi_raw
+
+            convert_ppi_raw(raw, path)
+        else:
+            raise FileNotFoundError(
+                f"no PPI cache at {path}; convert a raw download with "
+                "`python -m deep_gcns_torch_tpu.data.ppi <raw_dir> "
+                f"{path}` or pass --synthetic")
     z = np.load(path, allow_pickle=True)
     return list(z["train"]), list(z["valid"]), list(z["test"])
 
 
-def main():
-    args = get_args()
-    import jax
+def build_model(args):
+    from deep_gcns_torch_tpu.models import DeepGCNConfig, DeepGCNStatic
 
-    select_platform(args)
+    return DeepGCNStatic(DeepGCNConfig(
+        in_channels=args.in_channels, n_classes=args.n_classes,
+        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
+        compute_dtype=(args.compute_dtype or None),
+        act=args.act, norm=args.norm, heads=args.n_heads, block=args.block,
+        dropout=args.dropout))
+
+
+def make_batcher(args, all_gs):
+    """Fixed node/edge buckets across all graphs (one compiled program)."""
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from deep_gcns_torch_tpu.graph import batch_graphs
-    from deep_gcns_torch_tpu.models import DeepGCNConfig, DeepGCNStatic
-    from deep_gcns_torch_tpu.utils.loss import bce_with_logits
-    from deep_gcns_torch_tpu.utils.metrics import micro_f1
-    from deep_gcns_torch_tpu.utils.optim import ReduceLROnPlateau
 
-    exp, logger, scalars = setup_experiment(args, "ppi")
-    rng = np.random.default_rng(args.seed)
-    train_gs, valid_gs, test_gs = load_ppi(args, rng)
-
-    # fixed buckets across all graphs (one compiled program)
-    max_n = max(g["x"].shape[0] for g in train_gs + valid_gs + test_gs)
-    max_e = max(len(g["senders"]) for g in train_gs + valid_gs + test_gs)
+    max_n = max(g["x"].shape[0] for g in all_gs)
+    max_e = max(len(g["senders"]) for g in all_gs)
     node_pad = ((max_n + 255) // 256) * 256
     edge_pad = ((max_e + 511) // 512) * 512
 
@@ -95,11 +104,29 @@ def main():
         y[: len(g["y"])] = g["y"]
         return gr, jnp.asarray(y)
 
-    model = DeepGCNStatic(DeepGCNConfig(
-        in_channels=args.in_channels, n_classes=args.n_classes,
-        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv, compute_dtype=(args.compute_dtype or None),
-        act=args.act, norm=args.norm, heads=args.n_heads, block=args.block,
-        dropout=args.dropout))
+    return to_batch
+
+
+def main():
+    args = get_args()
+    import jax
+
+    select_platform(args)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
+    from deep_gcns_torch_tpu.utils.loss import bce_with_logits
+    from deep_gcns_torch_tpu.utils.metrics import micro_f1
+    from deep_gcns_torch_tpu.utils.optim import ReduceLROnPlateau
+
+    exp, logger, scalars = setup_experiment(args, "ppi")
+    rng = np.random.default_rng(args.seed)
+    train_gs, valid_gs, test_gs = load_ppi(args, rng)
+
+    to_batch = make_batcher(args, train_gs + valid_gs + test_gs)
+    model = build_model(args)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
     opt_state = tx.init(params)
@@ -144,7 +171,10 @@ def main():
         f1_t = evaluate(test_gs)
         scale = plateau.step(f1_v)
         opt_state.hyperparams["learning_rate"] = args.lr * scale
-        best_valid = max(best_valid, f1_v)
+        if f1_v > best_valid:
+            best_valid = f1_v
+            save_ckpt(os.path.join(exp, "ckpt_best"), params=params, state=state,
+                      epoch=epoch, best_value=best_valid)
         best_test = max(best_test, f1_t)
         logger.info("epoch %d loss %.4f valid-F1 %.4f test-F1 %.4f lr %.5f (%.1fs)",
                     epoch, float(np.mean(losses)), f1_v, f1_t, args.lr * scale,

@@ -56,11 +56,12 @@ def run_proteins(args, model_builder, name: str):
     follows the framework Module protocol and takes (x=species, node_feats=...,
     g) inputs."""
     import jax
+
+    from common import select_platform, EpochTimer, setup_experiment
+
     select_platform(args)
     import jax.numpy as jnp
     import optax
-
-    from common import select_platform, EpochTimer, setup_experiment
     from deep_gcns_torch_tpu.data.partition import (generate_sub_graphs,
                                                     random_partition_graph,
                                                     scatter_predictions)
@@ -163,6 +164,11 @@ def run_proteins(args, model_builder, name: str):
             ep_loss += float(loss)
         if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
             results = evaluate(params, state, args.eval_parts, args.num_evals)
+            if results["valid"] > best_valid:
+                from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
+                save_ckpt(os.path.join(exp, "ckpt_best"), params=params,
+                          state=state, epoch=epoch,
+                          best_value=float(results["valid"]))
             logger.info("epoch %d loss %.4f train %.4f valid %.4f test %.4f (%.1fs)",
                         epoch, ep_loss / args.cluster_number, results["train"],
                         results["valid"], results["test"], timer.lap())

@@ -1,0 +1,68 @@
+"""Whole-area evaluation for a trained DenseDeepGCN S3DIS checkpoint.
+
+Rebuild of `examples/sem_seg_dense/test.py:32-61`: load checkpoint, run every
+block of the held-out test area, accumulate per-class intersection/union over
+ALL blocks (the stitched area-level protocol — a class's IoU is computed from
+the whole area, not averaged over blocks), set empty classes' IoU to 1 like the
+reference (`ious[np.isnan(ious)] = 1`), print per-class IoUs and the mIoU.
+Run: python examples/sem_seg_dense/test.py --synthetic --pretrained_model <exp>/ckpt_best
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import select_platform  # noqa: E402
+from train import build_model, get_args, load_split  # noqa: E402
+
+
+def main():
+    args = get_args()
+    assert args.pretrained_model, "--pretrained_model required"
+    import jax
+
+    select_platform(args)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deep_gcns_torch_tpu.utils.ckpt import load_ckpt
+
+    rng = np.random.default_rng(args.seed)
+    te_x, te_y = load_split(args, rng, "test")
+
+    model = build_model(args)
+    p0, s0 = jax.jit(model.init)(jax.random.PRNGKey(0))
+    params, state, _, meta = load_ckpt(args.pretrained_model, params_like=p0,
+                                       state_like=s0)
+    print(f"loaded checkpoint (epoch {meta.get('epoch')}, "
+          f"best {meta.get('best_value', float('nan')):.4f})")
+
+    @jax.jit
+    def predict(params, state, x):
+        logits, _ = model.apply(params, state, x, train=False)
+        return jnp.argmax(logits, -1)
+
+    inter = np.zeros(args.n_classes, np.float64)
+    union = np.zeros(args.n_classes, np.float64)
+    bs = min(args.batch_size, len(te_x))
+    n_blocks = 0
+    for lo in range(0, len(te_x) - bs + 1, bs):
+        pred = np.asarray(predict(params, state, jnp.asarray(te_x[lo:lo + bs])))
+        gt = te_y[lo:lo + bs]
+        n_blocks += bs
+        for cl in range(args.n_classes):
+            pm = pred == cl
+            gm = gt == cl
+            inter[cl] += np.logical_and(pm, gm).sum()
+            union[cl] += np.logical_or(pm, gm).sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ious = inter / union
+    ious[np.isnan(ious)] = 1.0  # (`test.py:58-59`)
+    for cl in range(args.n_classes):
+        print(f"IoU class {cl}: {ious[cl]:.4f}")
+    print(f"area mIoU over {n_blocks} blocks: {float(np.mean(ious)):.4f}")
+    return float(np.mean(ious))
+
+
+if __name__ == "__main__":
+    main()

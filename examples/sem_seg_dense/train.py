@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import select_platform, EpochTimer, base_parser, setup_experiment  # noqa: E402
 
 
-def get_args():
+def get_args(argv=None):
     p = base_parser("DenseDeepGCN S3DIS semantic segmentation (TPU)")
     p.add_argument("--k", type=int, default=16)
     p.add_argument("--knn_method", type=str, default="exact",
@@ -35,7 +35,28 @@ def get_args():
     p.add_argument("--lr_decay_epochs", type=int, default=50)
     p.add_argument("--lr_decay_rate", type=float, default=0.5)
     p.set_defaults(epochs=100, lr=1e-3, dropout=0.3)
-    return p.parse_args()
+    return p.parse_args(argv)
+
+
+def build_model(args):
+    from deep_gcns_torch_tpu.models import DeepGCNConfig, DenseDeepGCN
+
+    return DenseDeepGCN(DeepGCNConfig(
+        in_channels=args.in_channels, n_classes=args.n_classes,
+        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
+        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k,
+        knn_method=args.knn_method,
+        compute_dtype=(args.compute_dtype or None),
+        stochastic=args.stochastic, epsilon=args.epsilon))
+
+
+def load_split(args, rng, split):
+    from deep_gcns_torch_tpu.data import pointcloud as pc
+
+    if args.synthetic:
+        n = 48 if split == "train" else 16
+        return pc.synthetic_s3dis(rng, n, args.num_points, args.n_classes)
+    return pc.load_s3dis(args.data_root, args.test_area, split)
 
 
 def main():
@@ -48,26 +69,17 @@ def main():
     import optax
 
     from deep_gcns_torch_tpu.data import pointcloud as pc
-    from deep_gcns_torch_tpu.models import DeepGCNConfig, DenseDeepGCN
+    from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
     from deep_gcns_torch_tpu.utils.loss import cross_entropy
     from deep_gcns_torch_tpu.utils.metrics import IoUAccumulator
 
     exp, logger, scalars = setup_experiment(args, "sem_seg_dense")
     rng = np.random.default_rng(args.seed)
 
-    if args.synthetic:
-        tr_x, tr_y = pc.synthetic_s3dis(rng, 48, args.num_points, args.n_classes)
-        te_x, te_y = pc.synthetic_s3dis(rng, 16, args.num_points, args.n_classes)
-    else:
-        tr_x, tr_y = pc.load_s3dis(args.data_root, args.test_area, "train")
-        te_x, te_y = pc.load_s3dis(args.data_root, args.test_area, "test")
+    tr_x, tr_y = load_split(args, rng, "train")
+    te_x, te_y = load_split(args, rng, "test")
 
-    model = DenseDeepGCN(DeepGCNConfig(
-        in_channels=args.in_channels, n_classes=args.n_classes,
-        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
-        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k, knn_method=args.knn_method,
-        compute_dtype=(args.compute_dtype or None),
-        stochastic=args.stochastic, epsilon=args.epsilon))
+    model = build_model(args)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     # Adam + StepLR (`examples/sem_seg_dense/train.py` setup)
     steps_per_epoch = max(len(tr_x) // args.batch_size, 1)
@@ -107,7 +119,10 @@ def main():
             pred = np.asarray(predict(params, state, jnp.asarray(x)))
             iou.update(pred.reshape(-1), y.reshape(-1))
         miou = iou.miou()
-        best_miou = max(best_miou, miou)
+        if miou > best_miou:
+            best_miou = miou
+            save_ckpt(os.path.join(exp, "ckpt_best"), params=params, state=state,
+                      epoch=epoch, best_value=best_miou)
         logger.info("epoch %d loss %.4f mIoU %.4f (%.1fs)", epoch,
                     float(np.mean(losses)), miou, timer.lap())
         scalars.log(epoch, loss=float(np.mean(losses)), miou=miou)
