@@ -2,7 +2,10 @@ from .mesh import make_mesh
 from .data_parallel import cluster_dp_train_step
 from .spatial import (SpatialDeeperGCN, shard_graph, shard_nodes,
                       spatial_forward, spatial_train_step)
+from .spatial_rev import (SpatialRevGCN, spatial_rev_forward,
+                          spatial_rev_train_step)
 
 __all__ = ["make_mesh", "cluster_dp_train_step", "SpatialDeeperGCN",
            "shard_graph", "shard_nodes", "spatial_forward",
-           "spatial_train_step"]
+           "spatial_train_step", "SpatialRevGCN", "spatial_rev_forward",
+           "spatial_rev_train_step"]

@@ -180,6 +180,41 @@ def shard_nodes(x: np.ndarray, shards: SpatialShards) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# boundary exchange (runs INSIDE shard_map) — shared by SpatialDeeperGCN and
+# the reversible composition (parallel/spatial_rev.py)
+# ---------------------------------------------------------------------------
+
+def use_halo(sh: SpatialShards, exchange: str = "auto") -> bool:
+    """Static (trace-time) choice between halo all-to-all and full all-gather."""
+    if exchange == "allgather" or sh.send_idx is None:
+        return False
+    if exchange == "halo":
+        return True
+    # auto: halo wins when it ships fewer rows per device per layer than the
+    # all-gather ((D-1)·S); all quantities are static → decided at trace time.
+    d = sh.send_idx.shape[1]
+    return d * sh.halo_pad < (d - 1) * sh.shard_size
+
+
+def exchange_sources(h_local, sh: SpatialShards, axis: str,
+                     exchange: str = "auto"):
+    """Return (source table, sender index array [E_pad]) for this device."""
+    if not use_halo(sh, exchange):
+        # full-table all-gather (bwd transposes to reduce-scatter)
+        h_full = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+        return h_full, sh.senders[0]
+    # halo: gather my boundary rows per destination, one all-to-all delivers
+    # every boundary row to its consumers; extended table = [local ‖ halo].
+    my_send = sh.send_idx[0]                       # [D, H_pad] local rows
+    send_buf = jnp.take(h_local, my_send, axis=0)  # [D, H_pad, C]
+    recv = jax.lax.all_to_all(send_buf, axis, split_axis=0,
+                              concat_axis=0, tiled=True)
+    h_ext = jnp.concatenate(
+        [h_local, recv.reshape(-1, h_local.shape[-1])], axis=0)
+    return h_ext, sh.senders_ext[0]
+
+
+# ---------------------------------------------------------------------------
 # spatial DeeperGCN forward (runs INSIDE shard_map; params replicated)
 # ---------------------------------------------------------------------------
 
@@ -212,30 +247,10 @@ class SpatialDeeperGCN:
 
     # -- boundary exchange ----------------------------------------------------
     def _use_halo(self, sh: SpatialShards) -> bool:
-        if self.exchange == "allgather" or sh.send_idx is None:
-            return False
-        if self.exchange == "halo":
-            return True
-        # auto: halo wins when it ships fewer rows per device per layer than the
-        # all-gather ((D-1)·S); all quantities are static → decided at trace time.
-        d = sh.send_idx.shape[1]
-        return d * sh.halo_pad < (d - 1) * sh.shard_size
+        return use_halo(sh, self.exchange)
 
     def _exchange(self, h_local, sh: SpatialShards):
-        """Return (source table, sender index array [E_pad]) for this device."""
-        if not self._use_halo(sh):
-            # full-table all-gather (bwd transposes to reduce-scatter)
-            h_full = jax.lax.all_gather(h_local, self.axis, axis=0, tiled=True)
-            return h_full, sh.senders[0]
-        # halo: gather my boundary rows per destination, one all-to-all delivers
-        # every boundary row to its consumers; extended table = [local ‖ halo].
-        my_send = sh.send_idx[0]                      # [D, H_pad] local rows
-        send_buf = jnp.take(h_local, my_send, axis=0)  # [D, H_pad, C]
-        recv = jax.lax.all_to_all(send_buf, self.axis, split_axis=0,
-                                  concat_axis=0, tiled=True)
-        h_ext = jnp.concatenate(
-            [h_local, recv.reshape(-1, h_local.shape[-1])], axis=0)
-        return h_ext, sh.senders_ext[0]
+        return exchange_sources(h_local, sh, self.axis, self.exchange)
 
     # -- one GENConv on a shard --------------------------------------------
     def _gcn_apply(self, lp, ls, h_local, sh: SpatialShards, d_index, edge_emb,
