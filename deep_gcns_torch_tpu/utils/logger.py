@@ -53,9 +53,13 @@ def setup_logging(exp_dir: str, level=logging.INFO) -> logging.Logger:
 
 
 class ScalarLogger:
-    """Append-only JSONL scalar log: one line per (step, tag, value)."""
+    """Append-only JSONL summary log — the headless replacement for the
+    reference's TF1 `TfLogger` (`utils/tf_logger.py:17-110`): scalars and
+    histograms go to JSONL lines; mesh/point-cloud summaries go to PLY files
+    (the TensorBoard mesh plugin has no headless analog in this image)."""
 
     def __init__(self, exp_dir: str):
+        self.exp_dir = exp_dir
         self.path = os.path.join(exp_dir, "scalars.jsonl")
 
     def log(self, step: int, **scalars):
@@ -63,6 +67,31 @@ class ScalarLogger:
             for k, v in scalars.items():
                 f.write(json.dumps({"step": int(step), "tag": k,
                                     "value": float(v)}) + "\n")
+
+    def log_histogram(self, step: int, tag: str, values, bins: int = 30):
+        """Histogram summary (`tf_logger.py::histo_summary` analog): bucket
+        counts + edges + moments as one JSONL line."""
+        import numpy as np
+
+        v = np.asarray(values).reshape(-1).astype(np.float64)
+        counts, edges = np.histogram(v, bins=bins)
+        rec = {"step": int(step), "tag": tag, "kind": "histogram",
+               "min": float(v.min()) if v.size else 0.0,
+               "max": float(v.max()) if v.size else 0.0,
+               "mean": float(v.mean()) if v.size else 0.0,
+               "std": float(v.std()) if v.size else 0.0,
+               "counts": counts.tolist(),
+               "edges": np.round(edges, 6).tolist()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def log_mesh(self, step: int, tag: str, points, colors=None, labels=None):
+        """Point-cloud/mesh summary (`tf_logger.py::mesh_summary` analog):
+        writes `{exp}/meshes/{tag}_{step}.ply`, returns the path."""
+        from .pc_export import write_ply
+
+        path = os.path.join(self.exp_dir, "meshes", f"{tag}_{step}.ply")
+        return write_ply(path, points, colors=colors, labels=labels)
 
 
 def save_best_result(csv_path: str, name: str, **metrics):

@@ -81,3 +81,25 @@ def test_async_checkpointer_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(best["params"]["w"]),
                                np.arange(12.0).reshape(3, 4))
     ck.close()
+
+
+def test_scalar_logger_histogram_and_mesh(tmp_path, rng_np):
+    """Histogram + mesh summaries (the TF1 TfLogger analogs,
+    `utils/tf_logger.py:17-110`)."""
+    import json
+
+    from deep_gcns_torch_tpu.utils.logger import ScalarLogger
+
+    sl = ScalarLogger(str(tmp_path))
+    sl.log(0, loss=1.5)
+    sl.log_histogram(0, "grads/w", rng_np.standard_normal(1000), bins=10)
+    recs = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    hist = [r for r in recs if r.get("kind") == "histogram"]
+    assert len(hist) == 1 and len(hist[0]["counts"]) == 10
+    assert sum(hist[0]["counts"]) == 1000
+    assert len(hist[0]["edges"]) == 11
+
+    pts = rng_np.standard_normal((50, 3)).astype("float32")
+    path = sl.log_mesh(3, "cloud", pts, labels=rng_np.integers(0, 5, 50))
+    assert path.endswith("cloud_3.ply")
+    assert open(path).read(3) == "ply"
