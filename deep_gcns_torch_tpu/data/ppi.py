@@ -77,8 +77,7 @@ def convert_ppi_raw(raw_dir: str, out_path: str) -> str:
     np.savez(out_path,
              train=np.asarray(splits["train"], dtype=object),
              valid=np.asarray(splits["valid"], dtype=object),
-             test=np.asarray(splits["test"], dtype=object),
-             allow_pickle=True)
+             test=np.asarray(splits["test"], dtype=object))
     return out_path
 
 

@@ -37,6 +37,9 @@ _log = logging.getLogger(__name__)
 # non-default pad_multiple/edge_pad silently loses the Pallas fast path — a
 # 2-5x perf cliff users couldn't see before. Counters per (route, reason) and
 # a once-per-key warning. `fastpath_misses()` is surfaced by EdgeRateMeter.
+# NB: routing decisions happen at TRACE time, so a count of 1 means "one
+# compiled program runs the slow path" (typically every step of a run), not
+# "the slow path executed once"; retraces increment again.
 FASTPATH_MISSES: Dict[str, int] = {}
 _warned_keys: set = set()
 
@@ -62,7 +65,10 @@ def _miss(route: str, reason: str, *, warn: bool = True) -> bool:
 
 
 def fastpath_misses() -> Dict[str, int]:
-    """Snapshot of fused-route miss counters (route:reason → count)."""
+    """Snapshot of fused-route miss counters (route:reason → count).
+
+    Counts TRACE-time routing decisions — each entry means a compiled program
+    (usually executed every step) took the slow path, not a per-step tally."""
     return dict(FASTPATH_MISSES)
 
 

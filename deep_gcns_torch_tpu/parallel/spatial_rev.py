@@ -67,24 +67,47 @@ class SpatialGENBlock(Module):
             h = h * mask_c
 
         gcn = blk._gcn()
-        h_src, senders = exchange_sources(h, sh, self.axis, self.exchange)
+        cd = jnp.bfloat16 if gcn.compute_dtype == "bfloat16" else h.dtype
+        h_src, senders = exchange_sources(h.astype(cd), sh, self.axis,
+                                          self.exchange)
         msg = jnp.take(h_src, jnp.minimum(senders, h_src.shape[0] - 1), axis=0)
         enc = gcn._edge_encoder()
-        if ee_raw is not None and enc is not None:
-            ee, _ = enc.apply(params["gcn"]["edge_encoder"], {}, ee_raw)
-            msg = msg + ee
-        msg = jax.nn.relu(msg) + gcn.eps
+        if ee_raw is not None:
+            # conv-level encoding when configured, else the pre-encoded chunk is
+            # added as-is (GENConv's `elif not encode_edge` path,
+            # convs/sparse.py:145-148)
+            if enc is not None:
+                ee, _ = enc.apply(params["gcn"]["edge_encoder"], {}, ee_raw)
+            else:
+                ee = ee_raw
+            msg = msg + ee.astype(cd)
+        msg = jax.nn.relu(msg) + jnp.asarray(gcn.eps, cd)
+        # t/p/y stop-gradient semantics identical to GENConv.apply
+        # (convs/sparse.py:152-161)
         t = params["gcn"].get("t", gcn.t)
         if isinstance(t, jax.Array) and not (
                 gcn.learn_t and gcn.aggr in ("softmax", "softmax_sum")):
             t = jax.lax.stop_gradient(t)
+        p_ = params["gcn"].get("p", gcn.p)
+        if isinstance(p_, jax.Array) and not gcn.learn_p:
+            p_ = jax.lax.stop_gradient(p_)
+        y_ = params["gcn"].get("y", gcn.y)
+        if isinstance(y_, jax.Array) and not gcn.learn_y:
+            y_ = jax.lax.stop_gradient(y_)
         m = generalized_aggregate(
             msg, my.receivers, my.node_mask.shape[0], aggr=gcn.aggr, t=t,
-            p=params["gcn"].get("p", gcn.p), y=params["gcn"].get("y", gcn.y),
-            learn_t=gcn.learn_t, mask=my.edge_mask, row_ptr=my.row_ptr)
+            p=p_, y=y_, learn_t=gcn.learn_t, mask=my.edge_mask,
+            row_ptr=my.row_ptr).astype(h.dtype)
+        if gcn.msg_norm:
+            from ..convs.sparse import MsgNorm
+
+            m, _ = MsgNorm(gcn.learn_msg_scale).apply(
+                params["gcn"]["msg_norm"], {}, h, m)
         h2 = h + m
         out, _ = gcn._mlp().apply(params["gcn"]["mlp"], {}, h2, train=train,
-                                  mask=my.node_mask)
+                                  mask=my.node_mask,
+                                  compute_dtype=(cd if gcn.compute_dtype
+                                                 == "bfloat16" else None))
         return out, state
 
 

@@ -77,7 +77,9 @@ class AsyncCheckpointer:
         if metrics is None and self._keep_best:
             # best_fn is set: a metric-less save must not confuse orbax's
             # best-step ordering — rank it strictly worse than any real metric.
-            sentinel = float("-inf") if self._best_mode == "max" else float("inf")
+            # Finite sentinel (not ±inf): orbax serializes metrics as JSON and
+            # ±Infinity is not valid RFC-8259 JSON for external tooling.
+            sentinel = -1e30 if self._best_mode == "max" else 1e30
             metrics = {"best": sentinel}
         self._mgr.save(step, args=ocp.args.Composite(**items), metrics=metrics)
 

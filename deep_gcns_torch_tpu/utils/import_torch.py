@@ -232,8 +232,13 @@ def import_deepergcn(sd: Dict[str, np.ndarray], cfg, strict: bool = True
     return params, state
 
 
-def export_deepergcn(params, state, cfg) -> Dict[str, np.ndarray]:
-    """Inverse of import_deepergcn (reference naming, torch layouts)."""
+def export_deepergcn(params, state, cfg,
+                     norm_prefix: str = "norms") -> Dict[str, np.ndarray]:
+    """Inverse of import_deepergcn (reference naming, torch layouts).
+
+    norm_prefix: "norms" for the arxiv-family models, "layer_norms" for the
+    proteins variant (`examples/ogb/ogbn_proteins/model.py:63`) — pass the one
+    the target reference model expects."""
     per_layer_edge = cfg.edge_mode in ("per_layer", "bond")
     cfg_like = dict(aggr=cfg.aggr, t=cfg.t, p=cfg.p, y=cfg.y,
                     msg_norm=cfg.msg_norm, mlp_layers=cfg.mlp_layers,
@@ -251,7 +256,7 @@ def export_deepergcn(params, state, cfg) -> Dict[str, np.ndarray]:
     norm_s = _unstack(state["norms"], cfg.num_layers)
     for l in range(cfg.num_layers):
         _genconv_out(gcn_p[l], gcn_s[l], f"gcns.{l}", cfg_like, out)
-        _norm_out(norm_p[l], norm_s[l], f"norms.{l}", cfg.norm, out)
+        _norm_out(norm_p[l], norm_s[l], f"{norm_prefix}.{l}", cfg.norm, out)
     return out
 
 

@@ -41,15 +41,18 @@ def main():
         return logits
 
     B = args.batch_size
+    n_true = len(test_gs)
+    # pad to a batch multiple with copies of the last graph; trim after
+    padded = test_gs + [test_gs[-1]] * ((-n_true) % B)
     preds, ys = [], []
-    for i in range(0, len(test_gs) - B + 1, B):
-        gr, y = make_batch(test_gs[i: i + B])
+    for i in range(0, len(padded), B):
+        gr, y = make_batch(padded[i: i + B])
         preds.append(np.asarray(predict(params, state, jax.device_put(gr))))
         ys.append(np.asarray(y))
     metric = roc_auc if args.num_tasks == 1 else average_precision
     name = "ROC-AUC" if args.num_tasks == 1 else "AP"
-    m = metric(np.concatenate(preds), np.concatenate(ys))
-    print(f"test {name}: {m:.4f} ({len(np.concatenate(ys))} graphs)")
+    m = metric(np.concatenate(preds)[:n_true], np.concatenate(ys)[:n_true])
+    print(f"test {name}: {m:.4f} ({n_true} graphs)")
 
 
 if __name__ == "__main__":

@@ -42,13 +42,15 @@ def main():
         return jnp.argmax(logits, -1)
 
     B = args.batch_size
+    n_true = len(test_gs)
+    padded = test_gs + [test_gs[-1]] * ((-n_true) % B)  # trim after predict
     preds, ys = [], []
-    for i in range(0, len(test_gs) - B + 1, B):
-        gr, y = make_batch(test_gs[i: i + B])
+    for i in range(0, len(padded), B):
+        gr, y = make_batch(padded[i: i + B])
         preds.append(np.asarray(predict(params, state, jax.device_put(gr))))
         ys.append(np.asarray(y))
-    acc = accuracy(np.concatenate(preds), np.concatenate(ys))
-    print(f"test acc: {acc:.4f} ({len(np.concatenate(ys))} graphs)")
+    acc = accuracy(np.concatenate(preds)[:n_true], np.concatenate(ys)[:n_true])
+    print(f"test acc: {acc:.4f} ({n_true} graphs)")
 
 
 if __name__ == "__main__":

@@ -134,7 +134,8 @@ def main():
             if hits > best:
                 best = hits
                 save_ckpt(os.path.join(exp, "ckpt_best"), params=all_params,
-                          state=state, epoch=epoch, best_value=best)
+                          state={"enc": state, "lp": lp_state}, epoch=epoch,
+                          best_value=best)
             logger.info("epoch %d loss %.4f Hits@%d %.4f (%.1fs)", epoch,
                         float(loss), args.hits_k, hits, timer.lap())
             scalars.log(epoch, loss=float(loss), hits=hits)

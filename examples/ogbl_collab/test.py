@@ -29,12 +29,13 @@ def main():
     g, train_pos, val_pos, n, in_dim = load_data(args, rng)
     model, predictor = build_models(args, in_dim)
     k0, k1 = jax.random.split(jax.random.PRNGKey(0))
-    p_enc, state = jax.jit(model.init)(k0)
+    p_enc, enc_state = jax.jit(model.init)(k0)
     lp_params, lp_state = predictor.init(k1)
     template = {"enc": p_enc, "lp": lp_params}
-    all_params, state, _, meta = load_ckpt(args.pretrained_model,
-                                           params_like=template,
-                                           state_like=state)
+    all_params, full_state, _, meta = load_ckpt(
+        args.pretrained_model, params_like=template,
+        state_like={"enc": enc_state, "lp": lp_state})
+    state, lp_state = full_state["enc"], full_state["lp"]
     print(f"loaded checkpoint (epoch {meta.get('epoch')}, "
           f"best {meta.get('best_value', float('nan')):.4f})")
     g = jax.device_put(g)

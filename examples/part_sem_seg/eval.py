@@ -67,13 +67,15 @@ def main(argv=None):
 
     res_dir = args.res_dir or "partseg_results"
     os.makedirs(res_dir, exist_ok=True)
-    preds = []
     bs = min(args.batch_size, len(te_x))
-    for lo in range(0, len(te_x) - bs + 1, bs):
+    n_eval = len(te_x)
+    pad = (-n_eval) % bs  # cover the trailing partial batch; trim after
+    te_pad = np.concatenate([te_x, te_x[-1:].repeat(pad, 0)]) if pad else te_x
+    preds = []
+    for lo in range(0, len(te_pad), bs):
         preds.append(np.asarray(predict(params, state,
-                                        jnp.asarray(te_x[lo:lo + bs]))))
-    preds = np.concatenate(preds)
-    n_eval = len(preds)
+                                        jnp.asarray(te_pad[lo:lo + bs]))))
+    preds = np.concatenate(preds)[:n_eval]
     part_iou, shape_miou = part_seg_miou(preds, te_y[:n_eval], args.n_classes)
     print(f"{args.category}: mean part IoU {part_iou:.4f}  "
           f"shape mIoU {shape_miou:.4f}  ({n_eval} objects)")

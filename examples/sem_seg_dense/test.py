@@ -45,11 +45,16 @@ def main():
     inter = np.zeros(args.n_classes, np.float64)
     union = np.zeros(args.n_classes, np.float64)
     bs = min(args.batch_size, len(te_x))
-    n_blocks = 0
-    for lo in range(0, len(te_x) - bs + 1, bs):
-        pred = np.asarray(predict(params, state, jnp.asarray(te_x[lo:lo + bs])))
-        gt = te_y[lo:lo + bs]
-        n_blocks += bs
+    n_blocks = len(te_x)
+    pad = (-n_blocks) % bs  # cover the trailing partial batch; trim after
+    tx_pad = np.concatenate([te_x, te_x[-1:].repeat(pad, 0)]) if pad else te_x
+    for lo in range(0, len(tx_pad), bs):
+        pred = np.asarray(predict(params, state, jnp.asarray(tx_pad[lo:lo + bs])))
+        hi = min(lo + bs, n_blocks)
+        if hi <= lo:
+            break
+        pred = pred[: hi - lo]
+        gt = te_y[lo:hi]
         for cl in range(args.n_classes):
             pm = pred == cl
             gm = gt == cl
