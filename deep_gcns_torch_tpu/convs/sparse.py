@@ -26,6 +26,7 @@ from ..ops.segment import (
     fused_gather_ok, generalized_aggregate, scatter, segment_degree,
     segment_softmax, segment_sum,
 )
+from ..ops.band import band_ok, band_softmax_agg_auto
 from ..ops.spmm_pallas import fused_softmax_gather_agg_auto
 from ..ops.gather import gather_dst_auto, gather_src_auto
 from ..ops.knn import dilated_knn_graph_flat
@@ -160,11 +161,22 @@ class GENConv(Module):
         if isinstance(y, jax.Array) and not self.learn_y:
             y = jax.lax.stop_gradient(y)
 
+        band = edge_emb is None and band_ok(g, x.shape[1], self.aggr)
         fused = fused_gather_ok(g, x.shape[1], self.aggr) and (
             edge_emb is None
             or (edge_emb_csc is not None and edge_emb.shape == (g.num_edges_padded,
                                                                 x.shape[1])))
-        if fused:
+        if band:
+            # gather-free band-dense path (locality-ordered graphs, no edge
+            # embeddings): num/den are one dense-band SpMM of node tables and
+            # the VJP one transposed band SpMM (ops/band.py).
+            m = band_softmax_agg_auto(x.astype(cd), g.band,
+                                      jnp.asarray(t, jnp.float32), self.eps,
+                                      grad_w)
+            if self.aggr == "softmax_sum":
+                deg = segment_degree(g.receivers, n, g.edge_mask, dtype=jnp.float32)
+                m = (jnp.power(deg, jax.nn.sigmoid(y))[:, None]).astype(m.dtype) * m
+        elif fused:
             # single-gather fused path: relu+ε message, stabilized exp, and both
             # one-hot dots happen inside one kernel pass; the backward is the CSC
             # kernel (no edge-cotangent permute, O(N) residuals). Edge-embedding

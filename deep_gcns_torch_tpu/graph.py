@@ -71,6 +71,10 @@ class Graph:
     # edge encoder is applied to BOTH orderings so the fused backward can emit
     # d(edge_emb) in CSC order without any device-side edge permute.
     edge_attr_csc: Optional[Array] = None
+    # band-dense adjacency (ops/band.BandPair) for locality-ordered graphs —
+    # attach with `attach_band`; convs route their aggregation through the
+    # gather-free band kernel when present (ops/band.band_ok).
+    band: Optional[Any] = None
     # Static number of graphs in the batch (needed as static segment count for pooling).
     num_graphs: int = dataclasses.field(default=1, metadata=dict(static=True))
 
@@ -268,6 +272,20 @@ def batch_graphs(
         pad_multiple=pad_multiple,
         with_row_ptr=with_row_ptr,
     )
+
+
+def attach_band(g: Graph, window="auto") -> Graph:
+    """Host-side: build the band-dense adjacency (ops/band.BandPair) from the
+    graph's valid edges and attach it.  Profitable for locality-ordered graphs
+    (run data/reorder.rcm_order first); `g.band.fwd.coverage` reports the
+    captured edge fraction.  Call before `jax.device_put`."""
+    from .ops.band import build_band_pair
+
+    n_edge = int(g.n_edge)
+    senders = np.asarray(g.senders)[:n_edge]
+    receivers = np.asarray(g.receivers)[:n_edge]
+    pair = build_band_pair(senders, receivers, g.num_nodes_padded, window)
+    return g.replace(band=pair)
 
 
 def to_device(g: Graph, device=None) -> Graph:

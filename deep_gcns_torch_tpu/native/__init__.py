@@ -60,6 +60,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.extract_cluster.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p,
                                         ctypes.c_int32, i32p, i32p, i32p]
         lib.extract_cluster.restype = ctypes.c_int64
+        if hasattr(lib, "rcm_order"):  # absent in a stale pre-round-3 .so
+            lib.rcm_order.argtypes = [i32p, i32p, ctypes.c_int64,
+                                      ctypes.c_int32, i32p]
+            lib.rcm_order.restype = None
         _lib = lib
         return _lib
 
@@ -90,6 +94,21 @@ def sort_edges_csr(senders: np.ndarray, receivers: np.ndarray, num_nodes: int
     lib.sort_edges_csr(_ptr(senders), _ptr(receivers), e, num_nodes,
                        _ptr(out_s), _ptr(out_r), _ptr(order), _ptr(row_ptr))
     return out_s, out_r, order, row_ptr
+
+
+def rcm_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int
+              ) -> Optional[np.ndarray]:
+    """Reverse Cuthill-McKee permutation (perm[new_id] = old_id) of the
+    symmetrized graph; None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rcm_order"):
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    perm = np.empty(num_nodes, np.int32)
+    lib.rcm_order(_ptr(senders), _ptr(receivers), len(senders),
+                  np.int32(num_nodes), _ptr(perm))
+    return perm
 
 
 def partition_clusters(senders: np.ndarray, receivers: np.ndarray,

@@ -9,6 +9,7 @@
 //
 // Exposed via a plain C ABI, loaded with ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -85,6 +86,70 @@ int64_t extract_cluster(const int32_t* senders, const int32_t* receivers,
     }
   }
   return k;
+}
+
+// Reverse Cuthill-McKee ordering of the symmetrized graph — the host-side
+// locality pass that makes the band/block-sparse TPU aggregation kernels
+// profitable (tile fill) and shrinks spatial-parallel halo boundaries.  The
+// reference has no counterpart (it partitions uniformly at random,
+// `utils/data_util.py:43-45`).
+//
+//   perm_out: [n_nodes], perm_out[new_id] = old_id (scipy RCM convention)
+void rcm_order(const int32_t* senders, const int32_t* receivers,
+               int64_t n_edges, int32_t n_nodes, int32_t* perm_out) {
+  // symmetric CSR adjacency (self loops kept; duplicates harmless for BFS)
+  std::vector<int64_t> ptr(static_cast<size_t>(n_nodes) + 1, 0);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    ptr[senders[i] + 1]++;
+    ptr[receivers[i] + 1]++;
+  }
+  for (int32_t v = 0; v < n_nodes; ++v) ptr[v + 1] += ptr[v];
+  std::vector<int32_t> adj(ptr[n_nodes]);
+  {
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t i = 0; i < n_edges; ++i) {
+      adj[cur[senders[i]]++] = receivers[i];
+      adj[cur[receivers[i]]++] = senders[i];
+    }
+  }
+  std::vector<int32_t> degree(n_nodes);
+  for (int32_t v = 0; v < n_nodes; ++v)
+    degree[v] = static_cast<int32_t>(ptr[v + 1] - ptr[v]);
+
+  std::vector<int32_t> by_deg(n_nodes);
+  for (int32_t v = 0; v < n_nodes; ++v) by_deg[v] = v;
+  std::sort(by_deg.begin(), by_deg.end(),
+            [&](int32_t a, int32_t b) { return degree[a] < degree[b]; });
+
+  std::vector<uint8_t> visited(n_nodes, 0);
+  std::vector<int32_t> order;
+  order.reserve(n_nodes);
+  std::vector<int32_t> nbuf;
+  size_t scan = 0;
+  while (order.size() < static_cast<size_t>(n_nodes)) {
+    while (scan < static_cast<size_t>(n_nodes) && visited[by_deg[scan]]) scan++;
+    int32_t start = by_deg[scan];
+    visited[start] = 1;
+    order.push_back(start);
+    size_t head = order.size() - 1;
+    while (head < order.size()) {
+      int32_t u = order[head++];
+      nbuf.clear();
+      for (int64_t e = ptr[u]; e < ptr[u + 1]; ++e) {
+        int32_t w = adj[e];
+        if (!visited[w]) {
+          visited[w] = 1;
+          nbuf.push_back(w);
+        }
+      }
+      std::sort(nbuf.begin(), nbuf.end(),
+                [&](int32_t a, int32_t b) { return degree[a] < degree[b]; });
+      order.insert(order.end(), nbuf.begin(), nbuf.end());
+    }
+  }
+  // reverse (the "R" in RCM: reversing halves the profile for typical meshes)
+  for (int32_t v = 0; v < n_nodes; ++v)
+    perm_out[v] = order[n_nodes - 1 - v];
 }
 
 }  // extern "C"

@@ -1,0 +1,426 @@
+"""Band-dense SpMM: the gather-free aggregation path for locality-ordered graphs.
+
+ROOFLINE.md measures XLA's row gather at ~420M rows/s REGARDLESS of index
+locality (issue-rate bound), which floors the take+CSR aggregation at
+~14.7 ms/layer on the bench workload.  For graphs whose edges concentrate near
+the diagonal after RCM reordering (data/reorder.py), this module removes both
+the gather and the per-edge one-hot VPU work of ops/blocksparse.py:
+
+  host:   for each 128-row receiver block, pick the length-W source window
+          covering the most edges; store that block's adjacency DENSELY as an
+          int8 count matrix A[128, W]; edges outside the window go to a small
+          leftover CSR handled by the streamed take+CSR kernel.
+  kernel: grid over receiver blocks; the A block arrives by the normal Pallas
+          pipeline, the x window [W, C] by a double-buffered DMA whose start is
+          a prefetched scalar; out_block = A @ x_window — ONE dense MXU matmul,
+          no gather, no one-hot construction.
+
+Per-layer HBM cost at bench shape (N=169k, E=2.54M, C=128, W=512): A 87 MB
+(int8) + x windows 173 MB + out 43 MB ≈ 0.35 ms at ~900 GB/s, vs 4.7 ms for the
+take alone — the aggregation moves from the gather issue-rate wall to the HBM
+roofline.  MXU waste (W/avg_deg ≈ 34x more MACs than edges) is free: the dots
+cost ~0.2 ms at bench shape.
+
+``band_softmax_agg`` fuses GENConv's full softmax aggregation family through
+this path using the node-factored form (messages m = relu(x)+ε are node-level
+functions when there are no edge embeddings, so num/den are TWO band SpMMs of
+node tables and the VJP is one transposed band SpMM — the same factorization
+`ops/spmm_pallas._fused_bwd` proves against the reference semantics,
+`gcn_lib/sparse/torch_message.py:44-58` + `torch_vertex.py:78-85`).
+Hot loop replaced: `/root/reference/gcn_lib/sparse/torch_message.py:52-58`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spmm_pallas import CHUNK, segment_sum_csr
+
+Array = jax.Array
+
+BN = 128        # receiver rows per block (matches spmm_pallas.BN)
+ALIGN = 16      # window-start alignment (bf16 sublane tile)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Band:
+    """One direction's band structure (A or Aᵀ) plus its off-band leftover."""
+
+    w_lo: Array         # [NB] int32 window start per receiver block (ALIGN-multiple)
+    a: Array            # [NB*BN, W] int8 edge counts, row r = a[r], col = src - w_lo
+    # off-band leftover edges, receiver-sorted CSR over the full node space
+    # (sentinel-padded to a CHUNK multiple; empty → 1-chunk dummy of sentinels)
+    lo_src: Array       # [E_lo_pad] int32
+    lo_dst: Array       # [E_lo_pad] int32
+    lo_row_ptr: Array   # [N_pad + 1] int32
+    window: int = field(default=512, metadata=dict(static=True))
+    n_edges: int = field(default=0, metadata=dict(static=True))
+    n_lo: int = field(default=0, metadata=dict(static=True))
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of edges captured by the dense band."""
+        return 1.0 - self.n_lo / max(self.n_edges, 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandPair:
+    """Forward (A) and transpose (Aᵀ) bands — what custom VJPs need."""
+
+    fwd: Band
+    bwd: Band
+
+
+def _round_down(x: int, m: int) -> int:
+    return (x // m) * m
+
+
+AUTO_WINDOWS = (256, 512, 768, 1024, 1536, 2048)
+
+
+def _pick_window(s, blk_start, nb, n_pad) -> int:
+    """Smallest candidate window reaching ≥99% coverage; else the candidate
+    maximizing covered_edges − window·NB·BN/256 (each extra window column costs
+    ~n_pad bytes of A DMA ≈ one 256-byte row-gather per 256 columns)."""
+    cands = [w for w in AUTO_WINDOWS if w <= n_pad] or [n_pad]
+    covered = np.zeros(len(cands), np.int64)
+    for b in range(nb):
+        a, z = blk_start[b], blk_start[b + 1]
+        if a == z:
+            continue
+        ss = s[a:z]
+        for j, w in enumerate(cands):
+            hi = np.searchsorted(ss, ss + w, side="left")
+            covered[j] += int((hi - np.arange(len(ss))).max())
+    n_edges = blk_start[-1]
+    for j, w in enumerate(cands):
+        if covered[j] >= 0.99 * n_edges:
+            return w
+    score = covered - np.asarray(cands, np.int64) * (nb * BN) // 256
+    return cands[int(np.argmax(score))]
+
+
+def _build_one(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
+               window) -> Band:
+    nb = n_pad // BN
+    n_edges = len(senders)
+    rb = receivers // BN
+    order = np.lexsort((senders, rb))
+    s, r, rbo = senders[order], receivers[order], rb[order]
+    blk_start = np.searchsorted(rbo, np.arange(nb + 1))
+    if window == "auto":
+        window = _pick_window(s, blk_start, nb, n_pad)
+
+    w_lo = np.zeros(nb, np.int32)
+    in_band = np.zeros(n_edges, bool)
+    for b in range(nb):
+        a, z = blk_start[b], blk_start[b + 1]
+        if a == z:
+            continue
+        ss = s[a:z]  # sorted ascending within the block
+        # best length-`window` interval: two-pointer via searchsorted
+        hi = np.searchsorted(ss, ss + window, side="left")
+        cover = hi - np.arange(len(ss))
+        i = int(np.argmax(cover))
+        lo = _round_down(int(ss[i]), ALIGN)
+        lo = min(max(lo, 0), n_pad - window)
+        w_lo[b] = lo
+        in_band[a:z] = (ss >= lo) & (ss < lo + window)
+
+    # dense counts (int32 then clamp; >127 multi-edges overflow to leftover)
+    a_band = np.zeros((nb * BN, window), np.int32)
+    sb, rb_b = s[in_band], r[in_band]
+    np.add.at(a_band, (rb_b, sb - w_lo[rb_b // BN]), 1)
+    over = a_band > 127
+    extra_s = extra_r = None
+    if over.any():
+        rows, cols = np.nonzero(over)
+        rep = a_band[rows, cols] - 127
+        extra_r = np.repeat(rows, rep).astype(np.int64)
+        extra_s = np.repeat(cols + w_lo[rows // BN], rep).astype(np.int64)
+        a_band[rows, cols] = 127
+    a_band = a_band.astype(np.int8)
+
+    lo_s = s[~in_band]
+    lo_r = r[~in_band]
+    if extra_s is not None:
+        lo_s = np.concatenate([lo_s, extra_s])
+        lo_r = np.concatenate([lo_r, extra_r])
+    n_lo = len(lo_s)
+    # leftover CSR (receiver-sorted, sentinel-padded to a CHUNK multiple)
+    lo_order = np.argsort(lo_r, kind="stable")
+    lo_s, lo_r = lo_s[lo_order], lo_r[lo_order]
+    e_lo_pad = max(-(-max(n_lo, 1) // CHUNK) * CHUNK, CHUNK)
+    sentinel = np.int32(n_pad)
+    lo_src = np.full(e_lo_pad, sentinel, np.int32)
+    lo_dst = np.full(e_lo_pad, sentinel, np.int32)
+    lo_src[:n_lo] = lo_s
+    lo_dst[:n_lo] = lo_r
+    counts = np.bincount(lo_r.astype(np.int64), minlength=n_pad) if n_lo else \
+        np.zeros(n_pad, np.int64)
+    lo_row_ptr = np.zeros(n_pad + 1, np.int64)
+    np.cumsum(counts, out=lo_row_ptr[1:])
+    return Band(w_lo=w_lo, a=a_band, lo_src=lo_src, lo_dst=lo_dst,
+                lo_row_ptr=lo_row_ptr.astype(np.int32), window=window,
+                n_edges=n_edges, n_lo=n_lo)
+
+
+def build_band_pair(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
+                    window="auto") -> BandPair:
+    """Host-side band structures for A (forward) and Aᵀ (backward).
+
+    senders/receivers are VALID edges only (strip padding sentinels first);
+    n_pad must be a BN multiple; window a 128-multiple ≤ n_pad, or "auto"
+    (per-direction coverage/DMA-cost scan over AUTO_WINDOWS)."""
+    assert n_pad % BN == 0, n_pad
+    if window != "auto":
+        window = min(window, n_pad)
+        assert window % 128 == 0 and window > 0, window
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    fwd = _build_one(senders, receivers, n_pad, window)
+    bwd = _build_one(receivers, senders, n_pad, window)
+    return BandPair(fwd=fwd, bwd=bwd)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _band_kernel(wlo_ref, a_ref, x_hbm, out_ref, xwin, sem, *, w, gb):
+    # gb receiver blocks per grid step: one grid step costs ~1.5 µs of Mosaic
+    # overhead (measured, ROOFLINE.md) — at 1324 blocks that alone is 2 ms, so
+    # the grid is coarsened and the per-128-row windows stream inside the step.
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def _copy(j, slot, k):
+        lo = pl.multiple_of(wlo_ref[j * gb + k], ALIGN)  # host aligns w_lo
+        return pltpu.make_async_copy(x_hbm.at[pl.ds(lo, w), :],
+                                     xwin.at[slot, k], sem.at[slot, k])
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(gb):
+            _copy(0, 0, k).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for k in range(gb):
+            _copy(i + 1, (i + 1) % 2, k).start()
+
+    cd = x_hbm.dtype
+    # f32 inputs need HIGHEST for torch-f32 parity (see spmm_pallas._dot); the
+    # int8 counts are exact in bf16 either way.
+    prec = (jax.lax.Precision.DEFAULT if cd == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    for k in range(gb):
+        _copy(i, i % 2, k).wait()
+        a = a_ref[k * BN:(k + 1) * BN, :].astype(cd)
+        acc = jax.lax.dot_general(a, xwin[i % 2, k], (((1,), (0,)), ((), ())),
+                                  precision=prec,
+                                  preferred_element_type=jnp.float32)
+        out_ref[k * BN:(k + 1) * BN, :] = acc.astype(out_ref.dtype)
+
+
+def _pick_gb(nb: int, w: int, c: int, itemsize: int) -> int:
+    """Blocks per grid step: largest divisor of nb (≤8) whose window scratch
+    (2 slots) plus the A/out pipeline buffers stay within ~8MB of VMEM."""
+    for gb in (8, 4, 2, 1):
+        vmem = 2 * gb * w * c * itemsize + 2 * gb * BN * (w + c * itemsize)
+        if nb % gb == 0 and vmem <= 8 * 1024 * 1024:
+            return gb
+    return 1
+
+
+def _band_call(x: Array, band: Band, interpret: bool) -> Array:
+    n_pad, c = x.shape
+    assert c % 128 == 0, c
+    assert band.a.shape[0] == n_pad and n_pad % BN == 0, (n_pad, band.a.shape)
+    w = band.window
+    nb = n_pad // BN
+    gb = _pick_gb(nb, w, c, jnp.dtype(x.dtype).itemsize)
+    kernel = functools.partial(_band_kernel, w=w, gb=gb)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,           # w_lo
+            grid=(nb // gb,),
+            in_specs=[
+                pl.BlockSpec((gb * BN, w), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),   # A blocks (auto pipeline)
+                pl.BlockSpec(memory_space=pl.ANY),       # x [N_pad, C] (HBM)
+            ],
+            out_specs=pl.BlockSpec((gb * BN, c), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, gb, w, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2, gb)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+        interpret=interpret,
+    )(band.w_lo, band.a, x)
+
+
+def _band_all(x: Array, band: Band, interpret: bool) -> Array:
+    """Full A @ x: dense band kernel + leftover take+CSR (non-differentiable
+    building block — callers own the VJP via the transpose band)."""
+    n_pad = x.shape[0]
+    out = _band_call(x, band, interpret)
+    if band.n_lo:
+        # no validity mask needed: sentinel lo_dst rows match no one-hot row in
+        # the CSR kernel (clip-gathered garbage is finite and never lands)
+        xg = jnp.take(x, jnp.minimum(band.lo_src, n_pad - 1), axis=0)
+        out = out + segment_sum_csr(jax.lax.stop_gradient(xg), band.lo_dst,
+                                    band.lo_row_ptr, interpret).astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def band_spmm(x: Array, bands: BandPair, interpret: bool = False) -> Array:
+    """out = A @ x for the adjacency encoded by ``bands.fwd``
+    (out[r] = Σ_{e: recv_e=r} x[send_e]); backward = Aᵀ @ g via ``bands.bwd``.
+    x must be lane-aligned (C % 128 == 0) and node-padded to a BN multiple."""
+    return _band_all(x, bands.fwd, interpret)
+
+
+def _band_spmm_fwd(x, bands, interpret):
+    return _band_all(x, bands.fwd, interpret), bands.bwd
+
+
+def _band_spmm_bwd(interpret, bwd_band, g):
+    return _band_all(g, bwd_band, interpret), None
+
+
+band_spmm.defvjp(_band_spmm_fwd, _band_spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused GENConv softmax aggregation through the band path (node-factored)
+# ---------------------------------------------------------------------------
+
+def _band_cmax(x, t0, eps):
+    """Per-channel upper bound on scores t·(relu(x)+ε) — same shift-invariance
+    argument as spmm_pallas._fused_cmax (no edge-embedding case)."""
+    m_ub = jnp.max(jax.nn.relu(x.astype(jnp.float32)), axis=0) + eps
+    cmax = jnp.where(t0 > 0, t0 * m_ub, t0 * eps)
+    return jax.lax.stop_gradient(cmax)
+
+
+def _band_softmax_fwd_call(x, bands, t, eps, interpret):
+    c = x.shape[1]
+    t_arr = jnp.asarray(t, jnp.float32)
+    t0 = t_arr.reshape(-1)[0]
+    cmax = _band_cmax(x, t0, eps)
+    m = jax.nn.relu(x.astype(jnp.float32)) + eps
+    e = jnp.exp(m * t0 - cmax[None, :])
+    p = jnp.concatenate([e * m, e], axis=1).astype(x.dtype)  # [N, 2C]
+    agg = _band_all(p, bands.fwd, interpret)
+    # slice BEFORE converting: upcast+divide+downcast then fuse into one pass
+    # (an astype on the whole [N, 2C] materializes 174MB of f32 — measured
+    # 0.5 ms/layer at arxiv scale)
+    num = agg[:, :c].astype(jnp.float32)
+    den = agg[:, c:].astype(jnp.float32)
+    out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    # den residual follows the message dtype — an f32 den stacks an extra
+    # 87MB/layer across lax.scan at arxiv scale (same trade as the CSC-kernel
+    # path, spmm_pallas._softmax_agg_pallas out_shape note).
+    return out.astype(x.dtype), den.astype(x.dtype), cmax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def band_softmax_agg(x: Array, bands: BandPair, t: Array, eps: float = 1e-7,
+                     grad_weights: bool = False,
+                     interpret: bool = False) -> Array:
+    """GENConv softmax aggregation, gather-free:
+
+        out[n] = Σ_{e: recv=n} softmax_e(t·m_e)·m_e,   m_e = relu(x[send_e]) + ε
+
+    (`gcn_lib/sparse/torch_vertex.py:78-85` message + `torch_message.py:44-58`
+    aggregation; no edge embeddings — that case stays on the CSC-kernel path.)
+    Node-factored: num/den are ONE band SpMM of the packed node table
+    [e·m | e], and the VJP is one transposed band SpMM — the factorization of
+    `spmm_pallas._fused_bwd`.  x lane-aligned (C % 128 == 0), N_pad % BN == 0.
+    """
+    out, _, _ = _band_softmax_fwd_call(x, bands, t, eps, interpret)
+    return out
+
+
+def _band_softmax_fwd(x, bands, t, eps, grad_weights, interpret):
+    out, den, cmax = _band_softmax_fwd_call(x, bands, t, eps, interpret)
+    return out, (x, bands.bwd, t, out if grad_weights else None, den, cmax)
+
+
+def _band_softmax_bwd(eps, grad_weights, interpret, res, g):
+    x, bwd_band, t, out, den, cmax = res
+    c = x.shape[1]
+    t_arr = jnp.asarray(t, jnp.float32)
+    t0 = t_arr.reshape(-1)[0]
+    den = den.astype(jnp.float32)
+    q = jnp.where(den > 0, g.astype(jnp.float32) / jnp.where(den > 0, den, 1.0),
+                  0.0)
+    m_node = jax.nn.relu(x.astype(jnp.float32)) + eps
+    e_node = jnp.exp(m_node * t0 - cmax[None, :])
+    if grad_weights:
+        qo = jnp.concatenate([q, q * out.astype(jnp.float32)], axis=1)
+    else:
+        qo = q
+    s_all = _band_all(qo.astype(x.dtype), bwd_band, interpret).astype(jnp.float32)
+    if grad_weights:
+        s1, s2 = s_all[:, :c], s_all[:, c:]
+        dm = e_node * ((1.0 + t0 * m_node) * s1 - t0 * s2)
+        dt = jnp.sum(e_node * m_node * (m_node * s1 - s2))
+    else:
+        dm = e_node * s_all
+        dt = jnp.zeros((), jnp.float32)
+    dx = jnp.where(x > 0, dm, 0.0).astype(x.dtype)
+    dt = jnp.broadcast_to(dt, jnp.shape(t)).astype(jnp.float32)
+    return dx, None, dt
+
+
+band_softmax_agg.defvjp(_band_softmax_fwd, _band_softmax_bwd)
+
+
+def band_softmax_agg_auto(x, bands, t, eps: float = 1e-7,
+                          grad_weights: bool = False,
+                          interpret: bool = False):
+    """Lane-padding wrapper (zero lanes are exact no-ops; gradients exact —
+    same argument as spmm_pallas.fused_softmax_gather_agg_auto)."""
+    c = x.shape[1]
+    pad = (-c) % 128
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    out = band_softmax_agg(x, bands, t, eps, grad_weights, interpret)
+    return out[:, :c] if pad else out
+
+
+def band_ok(g, c: int, aggr: str, min_coverage: float = 0.5) -> bool:
+    """Route GENConv's aggregation to the band path when profitable: a band is
+    attached with enough coverage (the leftover rides take+CSR either way —
+    below ~50% coverage the A-matrix DMA exceeds what the skipped gather rows
+    would have cost at the measured 420M rows/s)."""
+    band = getattr(g, "band", None)
+    if band is None:
+        return False
+    if aggr not in ("softmax", "softmax_sg", "softmax_sum"):
+        return False
+    if band.fwd.coverage < min_coverage:
+        from .segment import _miss
+        return _miss("band_softmax_agg",
+                     f"band coverage {band.fwd.coverage:.2f} < {min_coverage} "
+                     "(graph not locality-ordered? run data/reorder.rcm_order)")
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -19,6 +19,10 @@ Name maps (reference source of truth):
              gcns.{l}._fn.Fms.{g}.{norm,gcn}.* (InvertibleModuleWrapper stores
              `self._fn`, `eff_gcn_modules/rev/gcn_revop.py:216`; coupling stores
              `self.Fms`, `memgcn.py:13`)
+  RevGAT     `examples/ogb_eff/ogbn_arxiv_dgl/model_rev.py:283-336` (DGL):
+             convs.0 / convs.{L-1} plain GATConv {fc.weight, attn_l [1,H,D],
+             attn_r?, res_fc.weight}; middle convs.{l}._fn.Fms.{g}.{norm,conv};
+             head norm + bias_last.bias (ElementWiseLinear weight=False)
 
 Layout conversions: torch Linear stores weight [out, in] → ours [in, out]
 (transposed); BatchNorm weight/bias → scale/bias params, running_mean/var → state;
@@ -299,6 +303,111 @@ def import_revgcn(sd: Dict[str, np.ndarray], cfg, strict: bool = True
             raise ValueError(f"unmapped reference keys: {sorted(left)[:10]}"
                              f"{' …' if len(left) > 10 else ''}")
     return params, {}
+
+
+# ---------------------------------------------------------------------------
+# RevGAT (`examples/ogb_eff/ogbn_arxiv_dgl/model_rev.py:283-336`, DGL naming)
+# ---------------------------------------------------------------------------
+
+def _gat_in(used, sd, prefix, use_attn_dst):
+    """One DGL GATConv (`model_rev.py:51-110`) → our SymGATConv pytree.
+    torch fc.weight is [H*D, in] → ours [in, H*D]; attn_l/attn_r are
+    [1, H, D] → [H, D]."""
+    p = {"fc": np.ascontiguousarray(_take(used, sd, prefix + ".fc.weight").T),
+         "attn_l": _take(used, sd, prefix + ".attn_l")[0]}
+    if use_attn_dst:
+        p["attn_r"] = _take(used, sd, prefix + ".attn_r")[0]
+    if prefix + ".res_fc.weight" in sd:
+        p["res_fc"] = np.ascontiguousarray(
+            _take(used, sd, prefix + ".res_fc.weight").T)
+    return p
+
+
+def _gat_out(params, prefix, out):
+    out[prefix + ".fc.weight"] = np.ascontiguousarray(np.asarray(params["fc"]).T)
+    out[prefix + ".attn_l"] = np.asarray(params["attn_l"])[None]
+    if "attn_r" in params:
+        out[prefix + ".attn_r"] = np.asarray(params["attn_r"])[None]
+    if "res_fc" in params:
+        out[prefix + ".res_fc.weight"] = np.ascontiguousarray(
+            np.asarray(params["res_fc"]).T)
+
+
+def _bn_drop_stats(used, sd, prefix):
+    """Consume a reference BatchNorm's affine params, DROPPING the running
+    stats: our RevGAT uses state-free batch-stats normalization (required for
+    exact reversibility — see models/rev_gat.py module docstring), so
+    running_mean/var have no destination.  Full-batch arxiv eval makes them
+    statistically equivalent."""
+    p = {"scale": _take(used, sd, prefix + ".weight"),
+         "bias": _take(used, sd, prefix + ".bias")}
+    for suffix in (".running_mean", ".running_var", ".num_batches_tracked"):
+        used.add(prefix + suffix)
+    return p
+
+
+def import_revgat(sd: Dict[str, np.ndarray], cfg, strict: bool = True
+                  ) -> Tuple[dict, dict]:
+    """Map a reference RevGAT (DGL) state_dict onto (params, state) for
+    `models.rev_gat.RevGAT(cfg)`. `cfg` is a RevGATConfig."""
+    used = set()
+    c = cfg
+    params: dict = {}
+    params["first"] = _gat_in(used, sd, "convs.0", c.use_attn_dst)
+    n_mid = c.n_layers - 2
+    layers = []
+    for l in range(1, 1 + n_mid):
+        groups = []
+        for g in range(c.group):
+            pre = f"convs.{l}._fn.Fms.{g}"
+            groups.append({
+                "norm": _bn_drop_stats(used, sd, pre + ".norm"),
+                "conv": _gat_in(used, sd, pre + ".conv", c.use_attn_dst),
+            })
+        layers.append(_stack(groups))  # leading G axis (our coupling layout)
+    params["mid"] = _stack(layers)     # leading n_mid axis
+    params["last"] = _gat_in(used, sd, f"convs.{c.n_layers - 1}", c.use_attn_dst)
+    params["norm"] = _bn_drop_stats(used, sd, "norm")
+    params["bias_last"] = _take(used, sd, "bias_last.bias")
+
+    if strict:
+        left = set(sd) - used
+        if left:
+            raise ValueError(f"unmapped reference keys: {sorted(left)[:10]}"
+                             f"{' …' if len(left) > 10 else ''}")
+    return params, {}
+
+
+def export_revgat(params, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of import_revgat (reference DGL naming, torch layouts).
+
+    Running BatchNorm stats are emitted as fresh (mean 0 / var 1 / count 0):
+    our normalization is batch-stats by construction, so a reference model
+    loading this export matches only when evaluated with batch statistics
+    (e.g. momentum-free BN or .train() eval on the full batch)."""
+    c = cfg
+    out: Dict[str, np.ndarray] = {}
+    _gat_out(params["first"], "convs.0", out)
+    per_layer = _unstack(params["mid"], c.n_layers - 2)
+    for i, lp in enumerate(per_layer):
+        per_group = _unstack(lp, c.group)
+        for g in range(c.group):
+            pre = f"convs.{i + 1}._fn.Fms.{g}"
+            gp = per_group[g]
+            out[pre + ".norm.weight"] = np.asarray(gp["norm"]["scale"])
+            out[pre + ".norm.bias"] = np.asarray(gp["norm"]["bias"])
+            out[pre + ".norm.running_mean"] = np.zeros_like(gp["norm"]["bias"])
+            out[pre + ".norm.running_var"] = np.ones_like(gp["norm"]["scale"])
+            out[pre + ".norm.num_batches_tracked"] = np.asarray(0, np.int64)
+            _gat_out(gp["conv"], pre + ".conv", out)
+    _gat_out(params["last"], f"convs.{c.n_layers - 1}", out)
+    out["norm.weight"] = np.asarray(params["norm"]["scale"])
+    out["norm.bias"] = np.asarray(params["norm"]["bias"])
+    out["norm.running_mean"] = np.zeros_like(params["norm"]["bias"])
+    out["norm.running_var"] = np.ones_like(params["norm"]["scale"])
+    out["norm.num_batches_tracked"] = np.asarray(0, np.int64)
+    out["bias_last.bias"] = np.asarray(params["bias_last"])
+    return out
 
 
 def export_revgcn(params, state, cfg) -> Dict[str, np.ndarray]:

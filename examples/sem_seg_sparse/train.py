@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import select_platform, EpochTimer, base_parser, setup_experiment  # noqa: E402
 
 
-def get_args():
+def get_args(argv=None):
     p = base_parser("SparseDeepGCN S3DIS (TPU)")
     p.add_argument("--k", type=int, default=16)
     p.add_argument("--knn_method", type=str, default="exact",
@@ -34,7 +34,29 @@ def get_args():
     p.add_argument("--stochastic", action="store_true", default=False)
     p.add_argument("--epsilon", type=float, default=0.2)
     p.set_defaults(epochs=100, lr=1e-3, dropout=0.3)
-    return p.parse_args()
+    return p.parse_args(argv)
+
+
+def build_model(args):
+    from deep_gcns_torch_tpu.models import DeepGCNConfig, SparseDeepGCN
+
+    return SparseDeepGCN(DeepGCNConfig(
+        in_channels=args.in_channels, n_classes=args.n_classes,
+        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
+        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k,
+        knn_method=args.knn_method,
+        compute_dtype=(args.compute_dtype or None),
+        stochastic=args.stochastic, epsilon=args.epsilon,
+        num_points=args.num_points))
+
+
+def load_split(args, rng, split):
+    from deep_gcns_torch_tpu.data import pointcloud as pc
+
+    if args.synthetic:
+        n = 48 if split == "train" else 16
+        return pc.synthetic_s3dis(rng, n, args.num_points, args.n_classes)
+    return pc.load_s3dis(args.data_root, args.test_area, split)
 
 
 def main():
@@ -47,26 +69,16 @@ def main():
     import optax
 
     from deep_gcns_torch_tpu.data import pointcloud as pc
-    from deep_gcns_torch_tpu.models import DeepGCNConfig, SparseDeepGCN
+    from deep_gcns_torch_tpu.utils.ckpt import save_ckpt
     from deep_gcns_torch_tpu.utils.loss import cross_entropy
     from deep_gcns_torch_tpu.utils.metrics import IoUAccumulator
 
     exp, logger, scalars = setup_experiment(args, "sem_seg_sparse")
     rng = np.random.default_rng(args.seed)
-    if args.synthetic:
-        tr_x, tr_y = pc.synthetic_s3dis(rng, 48, args.num_points, args.n_classes)
-        te_x, te_y = pc.synthetic_s3dis(rng, 16, args.num_points, args.n_classes)
-    else:
-        tr_x, tr_y = pc.load_s3dis(args.data_root, args.test_area, "train")
-        te_x, te_y = pc.load_s3dis(args.data_root, args.test_area, "test")
+    tr_x, tr_y = load_split(args, rng, "train")
+    te_x, te_y = load_split(args, rng, "test")
 
-    model = SparseDeepGCN(DeepGCNConfig(
-        in_channels=args.in_channels, n_classes=args.n_classes,
-        n_filters=args.n_filters, n_blocks=args.n_blocks, conv=args.conv,
-        norm=args.norm, block=args.block, dropout=args.dropout, k=args.k, knn_method=args.knn_method,
-        compute_dtype=(args.compute_dtype or None),
-        stochastic=args.stochastic, epsilon=args.epsilon,
-        num_points=args.num_points))
+    model = build_model(args)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
@@ -104,7 +116,10 @@ def main():
                                       jnp.asarray(x.reshape(-1, x.shape[-1]))))
             iou.update(pred, y.reshape(-1))
         miou = iou.miou()
-        best = max(best, miou)
+        if miou > best:
+            best = miou
+            save_ckpt(os.path.join(exp, "ckpt_best"), params=params, state=state,
+                      epoch=epoch, best_value=best)
         logger.info("epoch %d loss %.4f mIoU %.4f (%.1fs)", epoch,
                     float(np.mean(losses)), miou, timer.lap())
         scalars.log(epoch, loss=float(np.mean(losses)), miou=miou)

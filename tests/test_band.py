@@ -1,0 +1,152 @@
+"""Band-dense SpMM (ops/band.py): gather-free aggregation for locality-ordered
+graphs.  Goldens against jax.ops.segment_sum / ops.segment.generalized_aggregate
+(the XLA reference semantics of `gcn_lib/sparse/torch_message.py:44-58`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_gcns_torch_tpu.graph import attach_band, build_graph
+from deep_gcns_torch_tpu.ops.band import (
+    BN, band_ok, band_softmax_agg, band_spmm, build_band_pair)
+from deep_gcns_torch_tpu.ops.segment import generalized_aggregate
+
+
+def banded_graph(rng, n, deg, bandwidth):
+    s = rng.integers(0, n, n * deg)
+    r = np.clip(s + rng.integers(-bandwidth, bandwidth + 1, n * deg), 0, n - 1)
+    return s, r
+
+
+def ref_spmm(x, senders, receivers, n):
+    return jax.ops.segment_sum(jnp.take(x, jnp.asarray(senders), axis=0),
+                               jnp.asarray(receivers), n,
+                               indices_are_sorted=False)
+
+
+@pytest.mark.parametrize("bandwidth,window", [(100, 512), (900, 256)])
+def test_band_spmm_matches_segment_sum(rng_np, bandwidth, window):
+    """Tight band → all edges in-band; wide band → real leftover exercised."""
+    n = 8 * BN
+    s, r = banded_graph(rng_np, n, 6, bandwidth)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, window)
+    assert bp.fwd.n_edges == len(s)
+    if bandwidth == 100:
+        assert bp.fwd.coverage == 1.0
+    else:
+        assert 0.0 < bp.fwd.coverage < 1.0 and bp.fwd.n_lo > 0
+    got = band_spmm(x, bp, True)
+    want = ref_spmm(x, s, r, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4,
+                               atol=1e-4)
+
+
+def test_band_spmm_multiedges_and_empty_blocks(rng_np):
+    """Duplicate edges count with multiplicity; blocks with no edges are zero."""
+    n = 4 * BN
+    s = np.concatenate([rng_np.integers(0, BN, 300)] * 3)  # every edge x3
+    r = np.concatenate([rng_np.integers(BN, 2 * BN, 300)] * 3)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, 256)
+    got = np.asarray(band_spmm(x, bp, True))
+    want = np.asarray(ref_spmm(x, s, r, n))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+    assert np.all(got[:BN] == 0) and np.all(got[2 * BN:] == 0)
+
+
+def test_band_spmm_grad_is_transpose(rng_np):
+    n = 8 * BN
+    s, r = banded_graph(rng_np, n, 5, 700)  # forces a leftover in BOTH directions
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, 256)
+    assert bp.fwd.n_lo > 0 and bp.bwd.n_lo > 0
+    co = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    g1 = jax.grad(lambda x_: jnp.sum(band_spmm(x_, bp, True) * co))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(ref_spmm(x_, s, r, n) * co))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("grad_w", [False, True])
+def test_band_softmax_agg_matches_generalized_aggregate(rng_np, grad_w):
+    """Forward + dx + dt parity with the XLA reference path (relu+ε message,
+    softmax aggregation) — including an off-band leftover."""
+    n = 8 * BN
+    eps = 1e-7
+    s, r = banded_graph(rng_np, n, 6, 800)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    t = jnp.asarray([0.7], jnp.float32)
+    bp = build_band_pair(s, r, n, 256)
+    assert bp.fwd.n_lo > 0
+    aggr = "softmax" if grad_w else "softmax_sg"
+
+    def band_path(x_, t_):
+        return band_softmax_agg(x_, bp, t_, eps, grad_w, True)
+
+    def ref_path(x_, t_):
+        t_eff = t_ if grad_w else jax.lax.stop_gradient(t_)
+        msg = jax.nn.relu(jnp.take(x_, jnp.asarray(s), axis=0)) + eps
+        return generalized_aggregate(
+            msg, jnp.asarray(r), n, aggr=aggr, t=t_eff, learn_t=grad_w,
+            indices_are_sorted=False)
+
+    out1 = band_path(x, t)
+    out2 = ref_path(x, t)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=3e-4,
+                               atol=1e-4)
+
+    co = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    gx1, gt1 = jax.grad(lambda x_, t_: jnp.sum(band_path(x_, t_) * co),
+                        argnums=(0, 1))(x, t)
+    gx2, gt2 = jax.grad(lambda x_, t_: jnp.sum(ref_path(x_, t_) * co),
+                        argnums=(0, 1))(x, t)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=3e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), rtol=3e-3,
+                               atol=1e-4)
+
+
+def test_band_softmax_empty_rows_zero(rng_np):
+    """Nodes with no incoming edges aggregate to exactly 0 (torch_scatter
+    empty-segment semantics)."""
+    n = 2 * BN
+    s = rng_np.integers(0, n, 400)
+    r = rng_np.integers(0, BN, 400)  # second block receives nothing
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, 256)
+    out = np.asarray(band_softmax_agg(x, bp, jnp.float32(1.0), 1e-7, False, True))
+    assert np.all(out[BN:] == 0)
+
+
+def test_attach_band_and_gate(rng_np):
+    n = 300
+    s, r = banded_graph(rng_np, n, 5, 60)
+    x = rng_np.standard_normal((n, 32)).astype(np.float32)
+    g = build_graph(x, s, r, num_nodes=n)
+    g = attach_band(g, window=512)
+    assert g.band is not None
+    assert g.band.fwd.coverage > 0.9
+    # gate: correct aggregators only; platform gate means False on CPU tests
+    assert band_ok(g, 32, "mean") is False
+    er = build_graph(x, rng_np.integers(0, n, 1500), rng_np.integers(0, n, 1500),
+                     num_nodes=n)
+    er = attach_band(er, window=128)
+    # an ER graph at this size still mostly fits one 128-window? ensure the
+    # coverage stat is populated and the pair round-trips as a pytree
+    leaves = jax.tree_util.tree_leaves(er.band)
+    assert all(hasattr(l, "shape") for l in leaves)
+
+
+def test_band_window_clamp_small_graph(rng_np):
+    """window > n_pad clamps; build still round-trips."""
+    n = BN
+    s, r = banded_graph(rng_np, n, 4, 50)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, 4096)
+    assert bp.fwd.window == n
+    got = band_spmm(x, bp, True)
+    want = ref_spmm(x, s, r, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4,
+                               atol=1e-4)

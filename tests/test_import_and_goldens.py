@@ -157,3 +157,83 @@ def test_revgcn_imported_forward_matches_numpy_reference(rng_np):
                      aggr=cfg.aggr, t=cfg.t, mlp_layers=cfg.mlp_layers,
                      norm=cfg.norm, use_one_hot=True)
     np.testing.assert_allclose(np.asarray(y)[:n], want, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# RevGAT (DGL naming, `examples/ogb_eff/ogbn_arxiv_dgl/model_rev.py:283-336`)
+# ---------------------------------------------------------------------------
+
+def _revgat_cfg(**kw):
+    from deep_gcns_torch_tpu.models.rev_gat import RevGATConfig
+
+    base = dict(in_feats=12, n_classes=5, n_hidden=8, n_layers=4, n_heads=3,
+                group=2, dropout=0.0, input_drop=0.0, edge_drop=0.0,
+                use_attn_dst=False, use_symmetric_norm=True)
+    base.update(kw)
+    return RevGATConfig(**base)
+
+
+@pytest.mark.parametrize("attn_dst", [False, True])
+def test_revgat_export_import_roundtrip(attn_dst):
+    from deep_gcns_torch_tpu.models.rev_gat import RevGAT
+    from deep_gcns_torch_tpu.utils.import_torch import (export_revgat,
+                                                        import_revgat)
+
+    cfg = _revgat_cfg(use_attn_dst=attn_dst)
+    model = RevGAT(cfg)
+    params, _ = jax.jit(model.init)(jax.random.PRNGKey(5))
+    sd = export_revgat(params, cfg)
+    # DGL shape conventions on the torch side
+    assert sd["convs.0.attn_l"].shape == (1, cfg.n_heads, cfg.n_hidden)
+    assert sd["convs.0.fc.weight"].shape == (cfg.n_heads * cfg.n_hidden,
+                                             cfg.in_feats)
+    assert ("convs.0.attn_r" in sd) == attn_dst
+    p2, _ = import_revgat(sd, cfg)
+    _assert_trees_equal(params, p2)
+    sd2 = export_revgat(p2, cfg)
+    assert set(sd) == set(sd2)
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(sd[k]), np.asarray(sd2[k]))
+
+
+def test_revgat_import_accepts_torch_pth(tmp_path, rng_np):
+    torch = pytest.importorskip("torch")
+    from deep_gcns_torch_tpu.models.rev_gat import RevGAT
+    from deep_gcns_torch_tpu.utils.import_torch import (export_revgat,
+                                                        import_revgat)
+
+    cfg = _revgat_cfg()
+    model = RevGAT(cfg)
+    params, _ = jax.jit(model.init)(jax.random.PRNGKey(6))
+    params = _randomize(params, rng_np)
+    sd = export_revgat(params, cfg)
+    tsd = {"module." + k: torch.from_numpy(np.ascontiguousarray(v))
+           for k, v in sd.items()}
+    path = tmp_path / "revgat.pth"
+    torch.save({"epoch": 3, "model_state_dict": tsd}, path)
+
+    p2, _ = import_revgat(load_reference_checkpoint(str(path)), cfg)
+    _assert_trees_equal(params, p2)
+
+    # imported params drive the model end-to-end
+    n, e = 50, 260
+    x, s, r = random_graph(rng_np, n, e, cfg.in_feats, sort=False)
+    g = build_graph(x, s, r, num_nodes=n)
+    p2 = jax.tree_util.tree_map(jnp.asarray, p2)
+    y, _ = model.apply(p2, {}, jnp.asarray(np.asarray(g.x)), g, train=False)
+    y0, _ = model.apply(jax.tree_util.tree_map(jnp.asarray, params), {},
+                        jnp.asarray(np.asarray(g.x)), g, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0), rtol=0, atol=0)
+
+
+def test_revgat_import_strict_flags_unknown_keys():
+    from deep_gcns_torch_tpu.models.rev_gat import RevGAT
+    from deep_gcns_torch_tpu.utils.import_torch import (export_revgat,
+                                                        import_revgat)
+
+    cfg = _revgat_cfg()
+    params, _ = jax.jit(RevGAT(cfg).init)(jax.random.PRNGKey(7))
+    sd = export_revgat(params, cfg)
+    sd["convs.0.extra_buffer"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        import_revgat(sd, cfg)
