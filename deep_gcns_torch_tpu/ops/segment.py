@@ -371,3 +371,123 @@ def generalized_aggregate(
         return out
 
     raise NotImplementedError(f"aggregation '{aggr}' is not implemented")
+
+
+def generalized_aggregate_split(
+    parts,
+    num_segments: int,
+    *,
+    aggr: str = "softmax",
+    t: Array | float = 1.0,
+    p: Array | float = 1.0,
+    y: Array | float = 0.0,
+    learn_t: bool = False,
+) -> Array:
+    """`generalized_aggregate` over a UNION of edge sets, each aggregated
+    partially and combined exactly — the enabler for overlapping a halo
+    exchange with local-edge aggregation (SURVEY §7 hard-part 4): the caller
+    aggregates the local part while remote rows are in flight, then folds in
+    the halo part.
+
+    ``parts`` is a sequence of (msgs [E_i, C], receivers [E_i], row_ptr or
+    None, mask or None) tuples, each receiver-sorted.  Results match
+    `generalized_aggregate` on the concatenated edge set up to fp reassociation:
+      * sum/mean/power: partial sums/counts are linear;
+      * max/min: partial extremes (−inf empty fill) combine by max/min;
+      * softmax family: a shared per-(segment,channel) stabilizer (the max of
+        the partial segment maxima, stop-gradient — it cancels analytically)
+        makes the partial num/den sums exact.
+    Stop-gradient semantics match the reference (`torch_message.py:44-85`).
+    """
+    parts = [(m, r, rp, mk) for (m, r, rp, mk) in parts]
+    if len(parts) == 1:
+        m, r, rp, mk = parts[0]
+        return generalized_aggregate(m, r, num_segments, aggr=aggr, t=t, p=p,
+                                     y=y, learn_t=learn_t, mask=mk, row_ptr=rp)
+
+    def _deg(dtype):
+        return sum(segment_degree(r, num_segments, mk, dtype=dtype)
+                   for (_, r, _, mk) in parts)
+
+    if aggr in ("add", "sum"):
+        return sum(segment_sum(m, r, num_segments, mk, row_ptr=rp)
+                   for (m, r, rp, mk) in parts)
+    if aggr == "mean":
+        s = sum(segment_sum(m, r, num_segments, mk, row_ptr=rp)
+                for (m, r, rp, mk) in parts)
+        cnt = _deg(s.dtype).reshape((-1,) + (1,) * (s.ndim - 1))
+        return s / jnp.maximum(cnt, 1)
+    if aggr in ("max", "min"):
+        combine = jnp.maximum if aggr == "max" else jnp.minimum
+        fill = _NEG_INF if aggr == "max" else float("inf")
+        outs, fins = [], []
+        for (m, r, rp, mk) in parts:
+            # keep ±inf for empty segments until after the combine — a partial
+            # that zero-fills early would beat a true negative max
+            fn = segment_max if aggr == "max" else segment_min
+            o = fn(m, r, num_segments, mk)
+            has = segment_degree(r, num_segments, mk, dtype=jnp.float32) > 0
+            has = has.reshape((-1,) + (1,) * (o.ndim - 1))
+            outs.append(jnp.where(has, o, fill))
+            fins.append(has)
+        out = functools.reduce(combine, outs)
+        any_has = functools.reduce(jnp.logical_or, fins)
+        return jnp.where(any_has, out, 0)
+
+    if aggr in ("softmax", "softmax_sg", "softmax_sum"):
+        t_eff = t
+        if isinstance(t, jax.Array) and not (learn_t and aggr in ("softmax",
+                                                                  "softmax_sum")):
+            t_eff = jax.lax.stop_gradient(t)
+        # shared stabilizer: max over the partial segment maxima (exact — it
+        # cancels; stop-gradient like any stable-softmax shift)
+        seg_maxes = []
+        for (m, r, _, mk) in parts:
+            logits = m * t_eff
+            m2 = _mask2d(mk, logits)
+            if m2 is not None:
+                logits = jnp.where(m2, logits, _NEG_INF)
+            seg_maxes.append(jax.ops.segment_max(logits, r, num_segments,
+                                                 indices_are_sorted=True))
+        sm = functools.reduce(jnp.maximum, seg_maxes)
+        sm = jax.lax.stop_gradient(jnp.where(jnp.isfinite(sm), sm, 0))
+        es = []
+        for (m, r, rp, mk) in parts:
+            e = jnp.exp(m * t_eff - jnp.take(sm, jnp.minimum(r, num_segments - 1),
+                                             axis=0))
+            m2 = _mask2d(mk, e)
+            if m2 is not None:
+                e = jnp.where(m2, e, 0)
+            sent = (r < num_segments).reshape((-1,) + (1,) * (e.ndim - 1))
+            es.append(jnp.where(sent, e, 0))
+        den = sum(segment_sum(e, r, num_segments, row_ptr=rp)
+                  for e, (_, r, rp, _) in zip(es, parts))
+        den = jnp.maximum(den, jnp.finfo(es[0].dtype).tiny)
+        grad_w = learn_t and aggr in ("softmax", "softmax_sum")
+        out = jnp.zeros_like(den)
+        for e, (m, r, rp, _) in zip(es, parts):
+            w = e / jnp.take(den, jnp.minimum(r, num_segments - 1), axis=0)
+            if not grad_w:
+                # reference computes the weights under no_grad
+                # (`torch_message.py:51-55`)
+                w = jax.lax.stop_gradient(w)
+            out = out + segment_sum(w * m, r, num_segments, row_ptr=rp)
+        if aggr == "softmax_sum":
+            deg = _deg(out.dtype)
+            out = jnp.power(deg, jax.nn.sigmoid(y))[:, None] * out
+        return out
+
+    if aggr in ("power", "power_sum"):
+        lo, hi = 1e-7, 1e1
+        s = sum(segment_sum(jnp.power(jnp.clip(m, lo, hi), p), r, num_segments,
+                            mk, row_ptr=rp)
+                for (m, r, rp, mk) in parts)
+        cnt = _deg(s.dtype).reshape((-1,) + (1,) * (s.ndim - 1))
+        out = jnp.clip(s / jnp.maximum(cnt, 1), lo, hi)
+        out = jnp.power(out, 1.0 / p)
+        if aggr == "power_sum":
+            deg = _deg(out.dtype)
+            out = jnp.power(deg, jax.nn.sigmoid(y))[:, None] * out
+        return out
+
+    raise NotImplementedError(f"aggregation '{aggr}' is not implemented")

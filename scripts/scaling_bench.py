@@ -51,6 +51,16 @@ def main():
     ap.add_argument("--locality", type=float, default=0.95,
                     help="fraction of intra-community edges (0 = ER-random)")
     ap.add_argument("--exchange", type=str, default="auto")
+    ap.add_argument("--rcm", action="store_true",
+                    help="RCM-reorder the graph first (data/reorder.py) — the "
+                         "locality pass that shrinks halo boundaries")
+    ap.add_argument("--build_only", action="store_true",
+                    help="measure host shard/halo build time only (proteins-"
+                         "scale rehearsal: the step itself would take minutes "
+                         "on a CPU mesh)")
+    ap.add_argument("--ici_gbps", type=float, default=45.0,
+                    help="assumed per-direction ICI bandwidth (GB/s) for the "
+                         "analytic efficiency projection (v5e ≈ 45)")
     ap.add_argument("--json", type=str, default="",
                     help="write results to this JSON file")
     args = ap.parse_args()
@@ -80,6 +90,13 @@ def main():
     else:
         senders = rng.integers(0, n, e)
         receivers = rng.integers(0, n, e)
+    if args.rcm:
+        from deep_gcns_torch_tpu.data.reorder import permute_graph, rcm_order
+
+        t0 = time.time()
+        perm = rcm_order(senders, receivers, n)
+        senders, receivers = permute_graph(perm, senders, receivers)
+        print(f"RCM reorder: {time.time() - t0:.2f}s", flush=True)
     x_np = rng.standard_normal((n, args.hidden)).astype(np.float32)
     lab_np = rng.integers(0, 16, n)
 
@@ -133,7 +150,7 @@ def main():
         rows.append(dict(devices=d, step_ms=round(dt * 1e3, 2),
                          edge_msgs_per_s=round(rate), efficiency=round(eff, 4),
                          exchange=mode, shard_size=int(shards.shard_size),
-                         halo_pad=int(shards.halo_pad),
+                         off_pads=[int(q) for q in shards.off_pads],
                          comm_rows_per_layer_per_dev=int(comm_rows),
                          allgather_rows_per_layer_per_dev=int(ag_rows),
                          comm_mb_per_layer_per_dev=round(comm_rows * bpr / 1e6, 3)))
