@@ -130,11 +130,23 @@ def shard_graph(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
 
     owner = receivers // S
     sender_owner = senders // S
-    order = np.lexsort((receivers, owner))           # device asc, receiver asc
-    s_o, r_o, ow_o = senders[order], receivers[order], owner[order]
-    so_o = sender_owner[order]
+    # (owner, receiver) sort ≡ receiver sort (owner = r // S): O(E) counting
+    # sort via the native builder when available (~6x numpy at proteins scale)
+    from .. import native
+
+    res = native.sort_edges_csr(senders.astype(np.int32),
+                                receivers.astype(np.int32), n_pad)
+    if res is not None:
+        s_o32, r_o32, order, rp_glob = res
+        s_o, r_o = s_o32.astype(np.int64), r_o32.astype(np.int64)
+        dev_start = rp_glob[np.arange(D + 1) * S].astype(np.int64)
+    else:
+        order = np.argsort(receivers, kind="stable")
+        s_o, r_o = senders[order], receivers[order]
+        dev_start = np.searchsorted(r_o, np.arange(D + 1) * S)
+    ow_o = r_o // S
+    so_o = s_o // S
     ea_o = np.asarray(edge_attr)[order] if edge_attr is not None else None
-    dev_start = np.searchsorted(ow_o, np.arange(D + 1))
     counts = np.diff(dev_start)
     e_pad = _round_up(max(int(counts.max(initial=0)), 1), edge_multiple)
 
@@ -163,7 +175,16 @@ def shard_graph(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
         # one global sort by (recv owner d, sender owner p, sender): unique
         # boundary rows per ordered pair and each remote edge's rank within its
         # pair's boundary set fall out of first-occurrence cumsums.
-        order2 = np.lexsort((senders, sender_owner, owner))
+        # (p, s) sort ≡ s sort (p = s // S), so (d, p, s) = sender counting
+        # sort then a stable owner sort — both O(E), no 3-key lexsort.
+        res2 = native.sort_edges_csr(receivers.astype(np.int32),
+                                     senders.astype(np.int32), n_pad)
+        if res2 is not None:
+            _, _, o1, _ = res2
+            o1 = o1.astype(np.int64)
+        else:
+            o1 = np.argsort(senders, kind="stable")
+        order2 = o1[np.argsort(owner[o1], kind="stable")]
         d2, p2, s2 = owner[order2], sender_owner[order2], senders[order2]
         remote = d2 != p2
         d2r, p2r, s2r = d2[remote], p2[remote], s2[remote]

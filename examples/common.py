@@ -33,7 +33,34 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--pretrained_model", type=str, default="",
                    help="checkpoint prefix to resume from")
     p.add_argument("--save_ckpt", action="store_true")
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=["adam", "radam", "adamw_ref", "adamw"],
+                   help="adam matches the reference apps (torch.optim.Adam, "
+                        "e.g. `examples/ogb/ogbn_arxiv/main.py:88`); radam / "
+                        "adamw_ref select the reference-exact reimplementations "
+                        "of its utils/optim.py (quirks preserved — use for "
+                        "parity runs)")
+    p.add_argument("--weight_decay", type=float, default=0.0)
     return p
+
+
+def make_optimizer(args, lr=None):
+    """Build the optax transformation selected by --optimizer (reference-exact
+    variants from deep_gcns_torch_tpu.utils.optim)."""
+    from deep_gcns_torch_tpu.utils import optim as O
+
+    lr = args.lr if lr is None else lr
+    wd = getattr(args, "weight_decay", 0.0)
+    name = getattr(args, "optimizer", "adam")
+    if name == "adam":
+        return O.adam(lr, wd)
+    if name == "radam":
+        return O.radam(lr, wd)
+    if name == "adamw_ref":
+        return O.adamw_ref(lr, weight_decay=wd)
+    if name == "adamw":
+        return O.adamw_warmup(lr, warmup_steps=0, weight_decay=wd)
+    raise ValueError(name)
 
 
 def add_deeper_gcn_flags(p: argparse.ArgumentParser, *, num_layers=28,

@@ -11,7 +11,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
+from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, make_optimizer, setup_experiment  # noqa: E402
 
 
 def get_args(argv=None):
@@ -122,7 +122,7 @@ def main():
     make_batch = make_batcher(args, train_gs + test_gs)
     model = build_model(args)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
-    tx = optax.adam(args.lr)
+    tx = make_optimizer(args)
     if args.grad_clip:
         tx = optax.chain(optax.clip(args.grad_clip), tx)  # value clip (`main.py:34-37`)
     opt_state = tx.init(params)

@@ -9,7 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
+from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, make_optimizer, setup_experiment  # noqa: E402
 
 
 def get_args(argv=None):
@@ -81,7 +81,7 @@ def main():
     params, state = jax.jit(model.init)(k0)
     lp_params, lp_state = predictor.init(k1)
     all_params = {"enc": params, "lp": lp_params}
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), make_optimizer(args))
     opt_state = tx.init(all_params)
     g = jax.device_put(g)
 

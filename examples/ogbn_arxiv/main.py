@@ -9,7 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
+from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, make_optimizer, setup_experiment  # noqa: E402
 
 
 def get_args():
@@ -81,7 +81,7 @@ def main():
         norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
         compute_dtype=args.compute_dtype, remat=args.remat))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
-    tx = optax.adam(args.lr)
+    tx = make_optimizer(args)
     opt_state = tx.init(params)
     start_epoch, best_valid = 0, -1.0
 

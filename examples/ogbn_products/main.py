@@ -11,7 +11,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, setup_experiment  # noqa: E402
+from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, make_optimizer, setup_experiment  # noqa: E402
 
 
 def get_args(argv=None):
@@ -108,7 +108,7 @@ def main():
 
     model = build_model(args, in_dim)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
-    tx = optax.adam(args.lr)
+    tx = make_optimizer(args)
     opt_state = tx.init(params)
 
     train_mask_full = np.zeros(n, bool)

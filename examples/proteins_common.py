@@ -57,7 +57,7 @@ def run_proteins(args, model_builder, name: str):
     g) inputs."""
     import jax
 
-    from common import select_platform, EpochTimer, setup_experiment
+    from common import select_platform, EpochTimer, setup_experiment, make_optimizer
 
     select_platform(args)
     import jax.numpy as jnp
@@ -76,7 +76,7 @@ def run_proteins(args, model_builder, name: str):
 
     model = model_builder(args, data)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), make_optimizer(args))
     opt_state = tx.init(params)
 
     # fixed padded bucket across clusters/epochs → one compiled program

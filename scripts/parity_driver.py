@@ -1,0 +1,261 @@
+"""One-command accuracy-parity driver for every BASELINE.md row.
+
+For each published reference number this runs the matching app config and
+collects the metric into PARITY.md (metric | target | measured | delta |
+status).  Real datasets cannot be downloaded in this environment (no egress),
+so for each row the driver:
+
+  * runs the REAL config when its preprocessed cache exists under --data_root
+    (see scripts/preprocess_ogb.py / the app's loaders for the expected files);
+  * otherwise runs a tiny SYNTHETIC stand-in of the same command end-to-end
+    (proving the exact train→eval→metric plumbing executes and parses) and
+    records the row as "blocked: no data".
+
+Parity runs use the reference-exact optimizer path (--optimizer adam matches
+the torch.optim.Adam every reference OGB app uses, e.g.
+`/root/reference/examples/ogb/ogbn_arxiv/main.py:88`; the reference's
+utils/optim.py RAdam/AdamW are app-unused — available via --optimizer
+radam/adamw_ref).
+
+Usage:
+  python scripts/parity_driver.py [--data_root data/] [--out PARITY.md]
+      [--rows ogbn-arxiv,...] [--real-epochs-cap N]
+"""
+
+import argparse
+import dataclasses
+import os
+import re
+import subprocess
+import sys
+import time
+from typing import List, Optional
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@dataclasses.dataclass
+class Row:
+    key: str
+    metric: str                  # human name for the table
+    target: float
+    target_src: str              # BASELINE.md provenance
+    app: str                     # examples/<app>/<script>
+    script: str
+    real_flags: List[str]        # reference README config
+    synth_flags: List[str]       # tiny stand-in
+    parse: str                   # regex with one float group, LAST match wins
+    requires: List[str]          # data files (relative to data_root)
+    higher_is_better: bool = True
+    note: str = ""
+
+
+def _deepergcn(dataset_flags, layers, aggr, t, extra=()):
+    return ([*dataset_flags, "--num_layers", str(layers), "--block", "res+",
+             "--gcn_aggr", aggr, "--t", str(t), *extra])
+
+
+ROWS = [
+    Row("ogbn-products", "ogbn-products accuracy", 0.8098,
+        "examples/ogb/README.md:32", "ogbn_products", "main.py",
+        _deepergcn([], 14, "softmax_sg", 0.1,
+                   ("--hidden_channels", "128", "--epochs", "500")),
+        ["--synthetic", "--synthetic_nodes", "512", "--num_layers", "3",
+         "--hidden_channels", "16", "--epochs", "2"],
+        r"best valid acc ([0-9.]+)", ["ogbn_products.npz"]),
+    Row("ogbn-proteins", "ogbn-proteins ROC-AUC (DyResGEN-112)", 0.8580,
+        "examples/ogb/README.md:33", "ogbn_proteins", "main.py",
+        _deepergcn([], 112, "softmax", 1.0,
+                   ("--learn_t", "--hidden_channels", "64", "--dropout", "0.1",
+                    "--epochs", "1000")),
+        ["--synthetic", "--num_layers", "3", "--hidden_channels", "16",
+         "--epochs", "2"],
+        r"best valid ROC-AUC ([0-9.]+)", ["ogbn_proteins.npz"]),
+    Row("ogbn-arxiv", "ogbn-arxiv accuracy (ResGEN-28)", 0.7192,
+        "examples/ogb/README.md:34", "ogbn_arxiv", "main.py",
+        _deepergcn([], 28, "softmax_sg", 0.1,
+                   ("--hidden_channels", "128", "--epochs", "500",
+                    "--self_loop")),
+        ["--synthetic", "--synthetic_nodes", "512", "--num_layers", "3",
+         "--hidden_channels", "16", "--epochs", "2"],
+        r"best valid acc ([0-9.]+)", ["ogbn_arxiv.npz"]),
+    Row("ogbg-molhiv", "ogbg-molhiv ROC-AUC (DyResGEN-7)", 0.7858,
+        "examples/ogb/README.md:35", "ogbg_mol", "main.py",
+        _deepergcn(["--dataset", "molhiv"], 7, "softmax", 1.0,
+                   ("--learn_t", "--dropout", "0.2", "--epochs", "300")),
+        ["--synthetic", "--num_layers", "2", "--hidden_channels", "16",
+         "--epochs", "2"],
+        r"best metric ([0-9.]+)", ["ogbg_molhiv.npz"]),
+    Row("ogbg-molpcba", "ogbg-molpcba AP (ResGEN-14 + VN)", 0.2745,
+        "examples/ogb/README.md:36", "ogbg_mol", "main.py",
+        _deepergcn(["--dataset", "molpcba"], 14, "softmax_sg", 0.1,
+                   ("--add_virtual_node", "--epochs", "300")),
+        ["--synthetic", "--num_layers", "2", "--hidden_channels", "16",
+         "--epochs", "2", "--add_virtual_node"],
+        r"best metric ([0-9.]+)", ["ogbg_molpcba.npz"]),
+    Row("ogbg-ppa", "ogbg-ppa accuracy (ResGEN-28)", 0.7712,
+        "examples/ogb/README.md:37", "ogbg_ppa", "main.py",
+        _deepergcn([], 28, "softmax_sg", 0.01, ("--epochs", "200")),
+        ["--synthetic", "--num_layers", "2", "--hidden_channels", "16",
+         "--epochs", "2"],
+        r"best acc ([0-9.]+)", ["ogbg_ppa.npz"]),
+    Row("revgnn-deep", "ogbn-proteins ROC-AUC (RevGNN-Deep 1001x80)", 0.8774,
+        "examples/ogb_eff/ogbn_proteins/README.md:5", "ogb_eff/ogbn_proteins",
+        "main.py",
+        ["--num_layers", "1001", "--hidden_channels", "80", "--group", "2",
+         "--dropout", "0.1", "--epochs", "2000", "--num_evals", "10"],
+        ["--synthetic", "--num_layers", "5", "--hidden_channels", "16",
+         "--group", "2", "--epochs", "2"],
+        r"best valid ROC-AUC ([0-9.]+)", ["ogbn_proteins.npz"],
+        note="multi-view eval protocol (10 evals x 3 partitions)"),
+    Row("revgnn-wide", "ogbn-proteins ROC-AUC (RevGNN-Wide 448x224)", 0.8824,
+        "examples/ogb_eff/ogbn_proteins/README.md", "ogb_eff/ogbn_proteins",
+        "main.py",
+        ["--num_layers", "448", "--hidden_channels", "224", "--group", "2",
+         "--dropout", "0.1", "--epochs", "2000", "--num_evals", "10"],
+        ["--synthetic", "--num_layers", "4", "--hidden_channels", "32",
+         "--group", "2", "--epochs", "2"],
+        r"best valid ROC-AUC ([0-9.]+)", ["ogbn_proteins.npz"]),
+    Row("revgat-teacher", "ogbn-arxiv accuracy (RevGAT teacher)", 0.7402,
+        "examples/ogb_eff/ogbn_arxiv_dgl/README.md", "ogb_eff/ogbn_arxiv_dgl",
+        "main.py",
+        ["--n_layers", "5", "--n_hidden", "256", "--n_heads", "3",
+         "--epochs", "2000", "--n_label_iters", "1"],
+        ["--synthetic", "--synthetic_nodes", "512", "--n_layers", "3",
+         "--n_hidden", "32", "--n_heads", "2", "--epochs", "2"],
+        r"best valid [0-9.]+ \(test ([0-9.]+)\)", ["ogbn_arxiv.npz"]),
+    Row("revgat-student", "ogbn-arxiv accuracy (RevGAT student +KD)", 0.7426,
+        "examples/ogb_eff/ogbn_arxiv_dgl/README.md", "ogb_eff/ogbn_arxiv_dgl",
+        "main.py",
+        ["--n_layers", "5", "--n_hidden", "256", "--n_heads", "3",
+         "--epochs", "2000", "--n_label_iters", "1",
+         "--mode", "student", "--alpha", "0.95", "--temp", "0.7"],
+        ["--synthetic", "--synthetic_nodes", "512", "--n_layers", "3",
+         "--n_hidden", "32", "--n_heads", "2", "--epochs", "2",
+         "--mode", "student"],
+        r"best valid [0-9.]+ \(test ([0-9.]+)\)", ["ogbn_arxiv.npz"],
+        note="needs a teacher checkpoint from the teacher row first"),
+    Row("s3dis-area5", "S3DIS Area-5 mIoU (ResGCN-28)", 0.5211,
+        "examples/sem_seg_dense/README.md", "sem_seg_dense", "train.py",
+        ["--n_blocks", "28", "--n_filters", "64", "--k", "16",
+         "--epochs", "100", "--test_area", "5"],
+        ["--synthetic", "--n_blocks", "2", "--n_filters", "16",
+         "--num_points", "128", "--batch_size", "4", "--k", "8",
+         "--n_classes", "5", "--epochs", "1"],
+        r"best mIoU ([0-9.]+)", ["s3dis"]),
+    Row("ppi", "PPI micro-F1 (ResMRGCN-14; paper figure)", 0.994,
+        "examples/ppi/README.md + TPAMI'21", "ppi", "main.py",
+        ["--n_blocks", "14", "--n_filters", "256", "--epochs", "2000"],
+        ["--synthetic", "--n_blocks", "2", "--n_filters", "16", "--epochs", "2"],
+        r"best test F1 ([0-9.]+)", ["ppi.npz"]),
+    Row("modelnet40", "ModelNet40 OA (paper figure)", 0.936,
+        "examples/modelnet_cls/README.md + TPAMI'21", "modelnet_cls", "main.py",
+        ["--n_blocks", "14", "--n_filters", "64", "--k", "9",
+         "--epochs", "400"],
+        ["--synthetic", "--n_blocks", "2", "--n_filters", "16",
+         "--num_points", "64", "--batch_size", "8", "--k", "6",
+         "--n_classes", "5", "--epochs", "1"],
+        r"best OA ([0-9.]+)", ["modelnet40"]),
+]
+
+
+def run_row(row: Row, data_root: str, exp_root: str, cap: Optional[int],
+            platform: str) -> dict:
+    have = all(os.path.exists(os.path.join(data_root, q)) for q in row.requires)
+    flags = list(row.real_flags if have else row.synth_flags)
+    if row.key == "revgat-student":
+        # self-KD needs a teacher checkpoint: run the teacher stage first with
+        # the same data/config scale (`ogb_eff/ogbn_arxiv_dgl/main.py:104-105`)
+        import glob
+
+        teacher = next((r for r in ROWS if r.key == "revgat-teacher"))
+        t_res = run_row(teacher, data_root, exp_root, cap, platform)
+        if t_res["status"] in ("FAILED", "NO METRIC"):
+            return dict(status="FAILED (teacher stage)", measured=None,
+                        real=have, dt=t_res["dt"], detail=t_res["detail"])
+        ckpts = sorted(glob.glob(os.path.join(REPO, exp_root, "**", "ckpt.npz"),
+                                 recursive=True), key=os.path.getmtime)
+        if not ckpts:
+            return dict(status="FAILED (no teacher ckpt)", measured=None,
+                        real=have, dt=t_res["dt"], detail="")
+        flags += ["--teacher_ckpt", ckpts[-1][: -len(".npz")]]
+    if have and cap:
+        flags = [f if f != str(None) else f for f in flags]
+        # cap epochs for smoke-testing real data quickly
+        if "--epochs" in flags:
+            flags[flags.index("--epochs") + 1] = str(cap)
+    cmd = [sys.executable, os.path.join(REPO, "examples", row.app, row.script),
+           "--exp_root", exp_root, "--data_root", data_root, *flags]
+    if platform:
+        cmd += ["--platform", platform]
+    t0 = time.time()
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                       timeout=7 * 24 * 3600)
+    dt = time.time() - t0
+    out = r.stdout + r.stderr
+    if r.returncode != 0:
+        return dict(status="FAILED", measured=None, real=have, dt=dt,
+                    detail=out[-1200:])
+    m = None
+    for match in re.finditer(row.parse, out):
+        m = float(match.group(1))
+    if m is None:
+        return dict(status="NO METRIC", measured=None, real=have, dt=dt,
+                    detail=out[-1200:])
+    status = ("measured" if have else "blocked: no data (synthetic plumbing OK)")
+    return dict(status=status, measured=m, real=have, dt=dt, detail="")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", default="data/")
+    ap.add_argument("--out", default="PARITY.md")
+    ap.add_argument("--rows", default="", help="comma-separated row keys subset")
+    ap.add_argument("--real-epochs-cap", type=int, default=0,
+                    help="cap --epochs for real-data runs (quick validation)")
+    ap.add_argument("--platform", default="",
+                    help="forwarded to the apps (e.g. cpu for smoke runs)")
+    ap.add_argument("--exp_root", default="runs/parity")
+    args = ap.parse_args()
+
+    keys = [k for k in args.rows.split(",") if k]
+    rows = [r for r in ROWS if not keys or r.key in keys]
+    lines = [
+        "# PARITY — reference accuracy targets vs this framework",
+        "",
+        "Generated by `python scripts/parity_driver.py`.  Rows run their",
+        "reference config when the dataset cache exists under --data_root,",
+        "otherwise a synthetic stand-in validates the exact command end-to-end",
+        "and the row is marked blocked (no dataset egress in this environment).",
+        "Reference-exact optimizers: `--optimizer adam` (the torch Adam every",
+        "reference app uses); radam/adamw_ref reimplementations available.",
+        "",
+        "| row | metric | target | measured | delta | status | runtime |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for row in rows:
+        print(f"[parity] {row.key} ...", flush=True)
+        res = run_row(row, args.data_root, args.exp_root,
+                      args.real_epochs_cap or None, args.platform)
+        measured = "—" if res["measured"] is None else f"{res['measured']:.4f}"
+        delta = ("—" if res["measured"] is None or not res["real"]
+                 else f"{res['measured'] - row.target:+.4f}")
+        note = f" {row.note}" if row.note else ""
+        lines.append(
+            f"| {row.key} | {row.metric} | {row.target:.4f} | {measured} | "
+            f"{delta} | {res['status']}{note} | {res['dt']:.0f}s |")
+        print(f"[parity] {row.key}: {res['status']} measured={measured} "
+              f"({res['dt']:.0f}s)", flush=True)
+        if res["detail"]:
+            print(res["detail"][-800:], flush=True)
+    lines += [
+        "",
+        f"targets: BASELINE.md (13 published rows + 2 paper-figure rows).",
+    ]
+    with open(os.path.join(REPO, args.out), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
