@@ -87,6 +87,76 @@ def _rcm_numpy(senders, receivers, num_nodes: int) -> np.ndarray:
     return order[::-1].copy()
 
 
+def cluster_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
+                  cluster_size: int = 4096) -> np.ndarray:
+    """Greedy max-connectivity cluster ordering: ``perm[new_id] = old_id``.
+
+    Grows fixed-size clusters by absorbing the frontier node with the most
+    edges into the current cluster (bucket queue, O(E+N) in C++).  Use instead
+    of RCM for small-world / community graphs: RCM's BFS frontier leaks
+    through long-range edges, so it cannot recover community structure — this
+    pass directly minimizes the spatial-shard edge cut and the band-window
+    density the TPU kernels consume.  ``cluster_size`` ≈ the spatial shard
+    size (or the band window) works well.
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    from .. import native
+
+    perm = native.cluster_order(senders, receivers, num_nodes, cluster_size)
+    if perm is not None:
+        return perm.astype(np.int64)
+    return _cluster_numpy(senders, receivers, num_nodes, cluster_size)
+
+
+def _cluster_numpy(senders, receivers, num_nodes: int,
+                   cluster_size: int) -> np.ndarray:
+    """Pure-python fallback (heap-based; small graphs only)."""
+    import heapq
+
+    s = np.concatenate([senders, receivers]).astype(np.int64)
+    r = np.concatenate([receivers, senders]).astype(np.int64)
+    order_e = np.argsort(s, kind="stable")
+    s, r = s[order_e], r[order_e]
+    ptr = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(ptr, s + 1, 1)
+    np.cumsum(ptr, out=ptr)
+    degree = np.diff(ptr)
+    by_deg = np.argsort(degree, kind="stable")
+    placed = np.zeros(num_nodes, bool)
+    score = np.zeros(num_nodes, np.int64)
+    epoch = np.full(num_nodes, -1, np.int64)
+    out = np.empty(num_nodes, np.int64)
+    pos = 0
+    scan = 0
+    cur = 0
+    while pos < num_nodes:
+        while placed[by_deg[scan]]:
+            scan += 1
+        seed = int(by_deg[scan])
+        cur += 1
+        heap = [(-1, seed)]
+        score[seed], epoch[seed] = 1, cur
+        cnt = 0
+        while cnt < cluster_size and heap:
+            neg, u = heapq.heappop(heap)
+            if placed[u] or epoch[u] != cur or score[u] != -neg:
+                continue
+            placed[u] = True
+            out[pos] = u
+            pos += 1
+            cnt += 1
+            for w in r[ptr[u]:ptr[u + 1]]:
+                w = int(w)
+                if placed[w]:
+                    continue
+                if epoch[w] != cur:
+                    epoch[w], score[w] = cur, 0
+                score[w] += 1
+                heapq.heappush(heap, (-int(score[w]), w))
+    return out
+
+
 def invert_permutation(perm: np.ndarray) -> np.ndarray:
     """new_of_old[old_id] = new_id for perm[new_id] = old_id."""
     inv = np.empty_like(perm)

@@ -64,6 +64,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.rcm_order.argtypes = [i32p, i32p, ctypes.c_int64,
                                       ctypes.c_int32, i32p]
             lib.rcm_order.restype = None
+        if hasattr(lib, "cluster_order"):
+            lib.cluster_order.argtypes = [i32p, i32p, ctypes.c_int64,
+                                          ctypes.c_int32, ctypes.c_int32, i32p]
+            lib.cluster_order.restype = None
         _lib = lib
         return _lib
 
@@ -108,6 +112,21 @@ def rcm_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int
     perm = np.empty(num_nodes, np.int32)
     lib.rcm_order(_ptr(senders), _ptr(receivers), len(senders),
                   np.int32(num_nodes), _ptr(perm))
+    return perm
+
+
+def cluster_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
+                  cluster_size: int) -> Optional[np.ndarray]:
+    """Greedy max-connectivity cluster ordering (perm[new_id] = old_id);
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "cluster_order"):
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    perm = np.empty(num_nodes, np.int32)
+    lib.cluster_order(_ptr(senders), _ptr(receivers), len(senders),
+                      np.int32(num_nodes), np.int32(cluster_size), _ptr(perm))
     return perm
 
 

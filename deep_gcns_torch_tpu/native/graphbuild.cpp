@@ -152,4 +152,100 @@ void rcm_order(const int32_t* senders, const int32_t* receivers,
     perm_out[v] = order[n_nodes - 1 - v];
 }
 
+// Greedy max-connectivity cluster ordering.  RCM (above) minimizes bandwidth
+// but its BFS frontier leaks through long-range edges, so it fails to recover
+// community structure in small-world graphs; this pass grows clusters of
+// `cluster_size` nodes by repeatedly absorbing the frontier node with the MOST
+// edges into the current cluster (bucket priority queue with lazy deletion —
+// O(E + N)).  Ordering = concatenated clusters, insertion order within each.
+// Minimizes exactly what the TPU consumers care about: spatial-shard edge cuts
+// (parallel/spatial.py halo volume) and band-window density (ops/band.py).
+//
+//   perm_out: [n_nodes], perm_out[new_id] = old_id
+void cluster_order(const int32_t* senders, const int32_t* receivers,
+                   int64_t n_edges, int32_t n_nodes, int32_t cluster_size,
+                   int32_t* perm_out) {
+  std::vector<int64_t> ptr(static_cast<size_t>(n_nodes) + 1, 0);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    ptr[senders[i] + 1]++;
+    ptr[receivers[i] + 1]++;
+  }
+  for (int32_t v = 0; v < n_nodes; ++v) ptr[v + 1] += ptr[v];
+  std::vector<int32_t> adj(ptr[n_nodes]);
+  {
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t i = 0; i < n_edges; ++i) {
+      adj[cur[senders[i]]++] = receivers[i];
+      adj[cur[receivers[i]]++] = senders[i];
+    }
+  }
+  std::vector<int32_t> degree(n_nodes);
+  for (int32_t v = 0; v < n_nodes; ++v)
+    degree[v] = static_cast<int32_t>(ptr[v + 1] - ptr[v]);
+  std::vector<int32_t> by_deg(n_nodes);
+  for (int32_t v = 0; v < n_nodes; ++v) by_deg[v] = v;
+  std::sort(by_deg.begin(), by_deg.end(),
+            [&](int32_t a, int32_t b) { return degree[a] < degree[b]; });
+
+  std::vector<uint8_t> placed(n_nodes, 0);
+  std::vector<int32_t> score(n_nodes, 0);   // links into the current cluster
+  std::vector<int32_t> epoch(n_nodes, -1);  // which cluster the score is for
+  // bucket queue over scores; lazy deletion (entries checked against score[])
+  std::vector<std::vector<int32_t>> buckets;
+  int32_t max_score = -1;
+  int64_t pos = 0;
+  size_t scan = 0;
+  int32_t cur_epoch = 0;
+
+  auto push = [&](int32_t v, int32_t s) {
+    if (static_cast<size_t>(s) >= buckets.size()) buckets.resize(s + 1);
+    buckets[s].push_back(v);
+    if (s > max_score) max_score = s;
+  };
+
+  while (pos < n_nodes) {
+    while (scan < static_cast<size_t>(n_nodes) && placed[by_deg[scan]]) scan++;
+    int32_t seed = by_deg[scan];
+    // fresh cluster: old queue entries are invalidated by the epoch check
+    for (auto& b : buckets) b.clear();
+    max_score = -1;
+    cur_epoch++;
+    score[seed] = 1;
+    epoch[seed] = cur_epoch;
+    push(seed, 1);
+    int32_t cnt = 0;
+    while (cnt < cluster_size) {
+      int32_t u = -1;
+      while (max_score >= 0) {
+        auto& b = buckets[max_score];
+        if (b.empty()) {
+          max_score--;
+          continue;
+        }
+        int32_t cand = b.back();
+        b.pop_back();
+        if (!placed[cand] && epoch[cand] == cur_epoch &&
+            score[cand] == max_score) {
+          u = cand;
+          break;
+        }
+      }
+      if (u < 0) break;  // frontier exhausted (component smaller than cluster)
+      placed[u] = 1;
+      perm_out[pos++] = u;
+      cnt++;
+      for (int64_t e = ptr[u]; e < ptr[u + 1]; ++e) {
+        int32_t w = adj[e];
+        if (placed[w]) continue;
+        if (epoch[w] != cur_epoch) {
+          epoch[w] = cur_epoch;
+          score[w] = 0;
+        }
+        score[w]++;
+        push(w, score[w]);
+      }
+    }
+  }
+}
+
 }  // extern "C"

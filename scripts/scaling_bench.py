@@ -55,9 +55,12 @@ def main():
                     help="randomly permute node ids first (destroys the "
                          "generator's contiguous layout — what raw datasets "
                          "look like before reordering)")
-    ap.add_argument("--rcm", action="store_true",
-                    help="RCM-reorder the graph first (data/reorder.py) — the "
-                         "locality pass that shrinks halo boundaries")
+    ap.add_argument("--order", type=str, default="none",
+                    choices=["none", "rcm", "cluster"],
+                    help="locality reordering pass (data/reorder.py): rcm for "
+                         "banded/mesh graphs, cluster (greedy max-connectivity) "
+                         "for community/small-world graphs — shrinks halo "
+                         "boundaries and band windows")
     ap.add_argument("--build_only", action="store_true",
                     help="measure host shard/halo build time only (proteins-"
                          "scale rehearsal: the step itself would take minutes "
@@ -97,13 +100,18 @@ def main():
     if args.scramble:
         scr = rng.permutation(n)
         senders, receivers = scr[senders], scr[receivers]
-    if args.rcm:
-        from deep_gcns_torch_tpu.data.reorder import permute_graph, rcm_order
+    if args.order != "none":
+        from deep_gcns_torch_tpu.data.reorder import (cluster_order,
+                                                      permute_graph, rcm_order)
 
         t0 = time.time()
-        perm = rcm_order(senders, receivers, n)
+        if args.order == "rcm":
+            perm = rcm_order(senders, receivers, n)
+        else:
+            perm = cluster_order(senders, receivers, n,
+                                 cluster_size=max(n // max(n_max, 1), 1024))
         senders, receivers = permute_graph(perm, senders, receivers)
-        print(f"RCM reorder: {time.time() - t0:.2f}s", flush=True)
+        print(f"{args.order} reorder: {time.time() - t0:.2f}s", flush=True)
     x_np = rng.standard_normal((n, args.hidden)).astype(np.float32)
     lab_np = rng.integers(0, 16, n)
 
