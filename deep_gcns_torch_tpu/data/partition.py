@@ -26,6 +26,33 @@ def random_partition_graph(rng: np.random.Generator, num_nodes: int,
     return rng.integers(0, cluster_number, num_nodes).astype(np.int32)
 
 
+def locality_partition_graph(rng: np.random.Generator, senders: np.ndarray,
+                             receivers: np.ndarray, num_nodes: int,
+                             cluster_number: int = 10,
+                             balance_multiple: int = 1) -> np.ndarray:
+    """Locality-aware replacement for the reference's uniform-random partition:
+    greedy max-connectivity cluster ordering (data/reorder.cluster_order), cut
+    into `cluster_number` contiguous, equal-size chunks, chunk ids shuffled.
+
+    Cluster training drops cross-cluster edges (reference
+    `ogbn_proteins/dataset.py:141-142` logs the loss — ~(k−1)/k of all edges
+    under random partition); a locality-aware partition keeps far more edges
+    per epoch, at the same per-cluster cost.  Re-randomization across epochs
+    comes from rotating the cut offset (rng) rather than reshuffling nodes.
+    """
+    from .reorder import cluster_order, invert_permutation
+
+    size = -(-num_nodes // cluster_number)
+    perm = cluster_order(senders, receivers, num_nodes, cluster_size=size)
+    rank = invert_permutation(np.asarray(perm))
+    # rotate the cut point so successive epochs see different boundaries
+    shift = int(rng.integers(0, num_nodes)) if num_nodes else 0
+    parts = ((rank + shift) % num_nodes) // size
+    # shuffle cluster ids (training visits clusters in shuffled order anyway)
+    relabel = rng.permutation(cluster_number).astype(np.int32)
+    return relabel[np.minimum(parts, cluster_number - 1).astype(np.int64)]
+
+
 def generate_sub_graphs(
     senders: np.ndarray,
     receivers: np.ndarray,

@@ -67,6 +67,13 @@ class DeeperGCNConfig:
     remat: bool = False
     # virtual node (ogbg_mol: `ogbg_mol/model.py:57-65,121-132`), res+ only
     add_virtual_node: bool = False
+    # checkpoint the norm→relu→dropout prologue/epilogue at train time: saves
+    # the pred-mask residuals (~100MB/layer at arxiv scale) at the cost of
+    # recomputing BN stats + the dropout RNG in the backward. Default True
+    # (memory headroom for deep/partitioned runs); bench-style full-batch
+    # arxiv-scale runs fit HBM without it and save ~?ms/layer — measured in
+    # ROOFLINE.md.
+    checkpoint_prologue: bool = True
     # final head shape: arxiv/proteins/products/collab apply ReLU after the last
     # norm; mol and ppa do not (`ogbg_mol/model.py:135-137`, `ogbg_ppa/model.py:102`)
     final_relu: bool = True
@@ -214,7 +221,7 @@ class DeeperGCN(Module):
                              rng=None if r is None else jax.random.fold_in(r, 1))
                 return h2, ns_out
 
-            if train:
+            if train and c.checkpoint_prologue:
                 prologue = jax.checkpoint(prologue)
 
             def body(carry, inp):
@@ -286,7 +293,7 @@ class DeeperGCN(Module):
                                 rng=None if r is None else jax.random.fold_in(r, 1))
                 return h_out, ns_out
 
-            if train:
+            if train and c.checkpoint_prologue:
                 epilogue = jax.checkpoint(epilogue)
 
             def body(carry, inp):

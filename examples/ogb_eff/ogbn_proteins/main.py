@@ -22,6 +22,9 @@ def get_args():
     p.add_argument("--group", type=int, default=2)
     p.add_argument("--num_tasks", type=int, default=112)
     p.add_argument("--cluster_number", type=int, default=10)
+    p.add_argument("--partition", type=str, default="random",
+                   choices=["random", "locality"],
+                   help="random = reference semantics (`utils/data_util.py:43-45`); locality = greedy-cluster partition keeping far more intra-cluster edges per epoch")
     p.add_argument("--eval_parts", type=int, default=5)
     p.add_argument("--num_evals", type=int, default=1)
     p.add_argument("--eval_every", type=int, default=5)

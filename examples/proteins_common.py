@@ -63,6 +63,7 @@ def run_proteins(args, model_builder, name: str):
     import jax.numpy as jnp
     import optax
     from deep_gcns_torch_tpu.data.partition import (generate_sub_graphs,
+                                                    locality_partition_graph,
                                                     random_partition_graph,
                                                     scatter_predictions)
     from deep_gcns_torch_tpu.utils.loss import bce_with_logits
@@ -148,8 +149,16 @@ def run_proteins(args, model_builder, name: str):
         # train steps — the right default for multi-hour 1001-layer runs
         from deep_gcns_torch_tpu.utils.ckpt_async import AsyncCheckpointer
         ckpt = AsyncCheckpointer(os.path.join(exp, "ckpt"), max_to_keep=2)
+    part_fn = random_partition_graph
+    if getattr(args, "partition", "random") == "locality":
+        # locality-aware clusters keep far more edges per epoch than the
+        # reference's uniform-random partition (`utils/data_util.py:43-45`):
+        # ~(k-1)/k of edges are dropped under random, a few % under locality
+        def part_fn(r_, n_, k_):
+            return locality_partition_graph(r_, data["senders"],
+                                            data["receivers"], n_, k_)
     for epoch in range(args.epochs):
-        parts = random_partition_graph(rng, n, args.cluster_number)
+        parts = part_fn(rng, n, args.cluster_number)
         graphs, node_lists, feats = make_clusters(parts, args.cluster_number)
         order = rng.permutation(args.cluster_number)
         ep_loss = 0.0

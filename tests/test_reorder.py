@@ -112,3 +112,32 @@ def test_cluster_numpy_fallback_matches_native_quality(rng_np):
     s, r = scr[s], scr[r]
     pn = _cluster_numpy(s, r, n, 64)
     assert sorted(pn.tolist()) == list(range(n))
+
+
+def test_locality_partition_drops_fewer_edges(rng_np):
+    """locality_partition_graph keeps far more intra-cluster edges than the
+    reference's uniform-random partition (`utils/data_util.py:43-45`)."""
+    from deep_gcns_torch_tpu.data.partition import (locality_partition_graph,
+                                                    random_partition_graph)
+
+    n, deg, blocks = 4096, 20, 8
+    bs = n // blocks
+    e = n * deg
+    src = rng_np.integers(0, n, e)
+    intra = rng_np.random(e) < 0.9
+    dst = np.where(intra,
+                   np.minimum((src // bs) * bs + rng_np.integers(0, bs, e), n - 1),
+                   rng_np.integers(0, n, e))
+    scr = rng_np.permutation(n)
+    s, r = scr[src], scr[dst]
+
+    def kept(parts):
+        return float((parts[s] == parts[r]).mean())
+
+    k_rand = kept(random_partition_graph(rng_np, n, 8))
+    k_loc = kept(locality_partition_graph(rng_np, s, r, n, 8))
+    assert k_rand < 0.2            # random keeps ~1/k
+    assert k_loc > 0.6             # locality keeps most intra-community edges
+    parts = locality_partition_graph(rng_np, s, r, n, 8)
+    sizes = np.bincount(parts, minlength=8)
+    assert sizes.max() - sizes.min() <= (-(-n // 8))  # balanced chunks
