@@ -18,8 +18,52 @@ def get_args():
                          aggr="softmax_sg")
     p.add_argument("--self_loop", action="store_true", default=True)
     p.add_argument("--num_classes", type=int, default=40)
+    p.add_argument("--reorder", type=str, default="none",
+                   choices=["none", "rcm", "cluster"],
+                   help="host locality reordering (data/reorder.py) before "
+                        "building the graph — enables the gather-free band "
+                        "aggregation (3.2x step at bench shape, ROOFLINE.md)")
+    p.add_argument("--band", type=str, default="off",
+                   choices=["off", "auto"],
+                   help="attach the band-dense adjacency (ops/band.py); "
+                        "combine with --reorder cluster on real graphs")
     p.set_defaults(epochs=500, lr=0.01, dropout=0.5)
     return p.parse_args()
+
+
+def _reorder(args, rng, s, r, n, x_np, labels, splits):
+    """Apply the selected locality pass; node-indexed arrays and split index
+    sets are relabeled consistently (metrics are permutation-invariant)."""
+    import numpy as np
+
+    if args.reorder == "none":
+        return s, r, x_np, labels, splits
+    from deep_gcns_torch_tpu.data.reorder import (cluster_order,
+                                                  invert_permutation,
+                                                  permute_graph, rcm_order)
+
+    if args.reorder == "rcm":
+        perm = rcm_order(s, r, n)
+    else:
+        perm = cluster_order(s, r, n, cluster_size=4096)
+    s, r, x_np, labels = permute_graph(perm, s, r, x_np, np.asarray(labels))
+    inv = invert_permutation(np.asarray(perm))
+    splits = {k: inv[np.asarray(v)] for k, v in splits.items()}
+    return s, r, x_np, labels, splits
+
+
+def _maybe_band(args, g):
+    if args.band == "off":
+        return g
+    from deep_gcns_torch_tpu.graph import attach_band
+
+    g = attach_band(g)
+    import logging
+
+    logging.getLogger("deep_gcns_torch_tpu").info(
+        "band attached: window=%d coverage=%.3f (bwd %.3f)",
+        g.band.fwd.window, g.band.fwd.coverage, g.band.bwd.coverage)
+    return g
 
 
 def main():
@@ -51,6 +95,16 @@ def main():
                   "valid": perm[int(0.6 * n): int(0.8 * n)],
                   "test": perm[int(0.8 * n):]}
         in_dim = 128
+        if args.reorder != "none" or args.band != "off":
+            # rebuild through the same reorder/band pipeline as real data
+            n_edge = int(g.n_edge)
+            s = np.asarray(g.senders)[:n_edge]
+            r = np.asarray(g.receivers)[:n_edge]
+            x_np = np.asarray(g.x)[:n]
+            s, r, x_np, labels, splits = _reorder(args, rng, s, r, n, x_np,
+                                                  labels, splits)
+            g = build_graph(x_np, s, r, num_nodes=n)
+            g = _maybe_band(args, g)
     else:
         from deep_gcns_torch_tpu.data.ogb import load_ogb_node
 
@@ -58,11 +112,19 @@ def main():
         s, r = to_undirected(ds.senders, ds.receivers)  # main.py:61-75
         if args.self_loop:
             s, r = add_self_loops(s, r, ds.x.shape[0])
-        g = build_graph(ds.x, s, r)
-        labels, splits, in_dim = ds.labels, ds.splits, ds.x.shape[1]
+        n0 = ds.x.shape[0]
+        labels, splits = ds.labels, ds.splits
+        x_np = ds.x
+        s, r, x_np, labels, splits = _reorder(args, rng, s, r, n0, x_np,
+                                              labels, splits)
+        g = build_graph(x_np, s, r, num_nodes=n0)
+        g = _maybe_band(args, g)
+        in_dim = ds.x.shape[1]
 
     n = int(g.n_node)
-    g = jax.device_put(g)
+    band = g.band
+    g = jax.device_put(g.replace(band=None))
+    band = jax.device_put(band) if band is not None else None
     lab = jnp.asarray(np.pad(np.asarray(labels), (0, g.num_nodes_padded - n)))
 
     def split_mask(idx):
@@ -94,10 +156,15 @@ def main():
         best_valid = meta.get("best_value", -1.0)
         logger.info("resumed from %s at epoch %d", args.pretrained_model, start_epoch)
 
+    # the graph is closed over (jit constants: ~4x faster gathers, see
+    # ROOFLINE.md) except the band adjacency, which is too large to embed in a
+    # remote-compile request and layout-neutral as an argument.
     @jax.jit
-    def train_step(params, state, opt_state, key):
+    def train_step(params, state, opt_state, band, key):
+        gg = g.replace(band=band)
+
         def loss_fn(p):
-            logits, s2 = model.apply(p, state, g.x, g, train=True, rng=key)
+            logits, s2 = model.apply(p, state, gg.x, gg, train=True, rng=key)
             return cross_entropy(logits, lab, mask=masks["train"]), s2
 
         (loss, s2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -105,17 +172,19 @@ def main():
         return optax.apply_updates(params, updates), s2, opt2, loss
 
     @jax.jit
-    def predict(params, state):
-        logits, _ = model.apply(params, state, g.x, g, train=False)
+    def predict(params, state, band):
+        gg = g.replace(band=band)
+        logits, _ = model.apply(params, state, gg.x, gg, train=False)
         return jnp.argmax(logits, -1)
 
     timer = EpochTimer()
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, args.epochs):
         key, sub = jax.random.split(key)
-        params, state, opt_state, loss = train_step(params, state, opt_state, sub)
+        params, state, opt_state, loss = train_step(params, state, opt_state,
+                                                    band, sub)
         if epoch % 5 == 0 or epoch == args.epochs - 1:
-            pred = np.asarray(predict(params, state))
+            pred = np.asarray(predict(params, state, band))
             accs = {k: accuracy(pred[np.asarray(splits[k])],
                                 np.asarray(labels)[np.asarray(splits[k])])
                     for k in splits}
