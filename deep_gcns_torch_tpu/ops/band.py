@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spmm_pallas import CHUNK, segment_sum_csr
+from .spmm_pallas import CHUNK, _out_struct, segment_sum_csr
 
 Array = jax.Array
 
@@ -243,10 +243,27 @@ def _pick_gb(nb: int, w: int, c: int, itemsize: int) -> int:
     return 1
 
 
-def _band_call(x: Array, band: Band, interpret: bool) -> Array:
+def _band_call_xla(x: Array, band: Band) -> Array:
+    """Pure-XLA emulation of the band kernel (identical math: per-block dense
+    window matmul).  Used for CPU-mesh tests inside `shard_map`, where jax's
+    Pallas interpreter trips its own vma checks (jax 0.9); the Mosaic kernel
+    itself is exercised by tests/test_band.py and the TPU drive scripts."""
+    n_pad, c = x.shape
+    w = band.window
+    nb = n_pad // BN
+    win = jnp.take(x, band.w_lo[:, None] + jnp.arange(w)[None, :], axis=0)
+    a = band.a.reshape(nb, BN, w).astype(x.dtype)
+    out = jnp.einsum("bnw,bwc->bnc", a, win,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n_pad, c).astype(x.dtype)
+
+
+def _band_call(x: Array, band: Band, interpret) -> Array:
     n_pad, c = x.shape
     assert c % 128 == 0, c
     assert band.a.shape[0] == n_pad and n_pad % BN == 0, (n_pad, band.a.shape)
+    if interpret == "xla":
+        return _band_call_xla(x, band)
     w = band.window
     nb = n_pad // BN
     gb = _pick_gb(nb, w, c, jnp.dtype(x.dtype).itemsize)
@@ -268,7 +285,7 @@ def _band_call(x: Array, band: Band, interpret: bool) -> Array:
                 pltpu.SemaphoreType.DMA((2, gb)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+        out_shape=_out_struct((n_pad, c), x.dtype, x),
         interpret=interpret,
     )(band.w_lo, band.a, x)
 

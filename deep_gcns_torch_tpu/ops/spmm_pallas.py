@@ -107,6 +107,16 @@ def _dot_t(a, b):
         preferred_element_type=jnp.float32)
 
 
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying the input's varying-mesh-axes type so these
+    kernels compose inside `shard_map` (check_vma) without disabling the
+    replication checker — outside shard_map this is a plain struct."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _pad_lanes(msgs):
     """Mosaic DMA requires 128-aligned channel dims; zero lanes are exact no-ops
     for the sums/softmax numerators these kernels compute."""
@@ -260,6 +270,11 @@ def segment_sum_csr(msgs: Array, receivers: Array, row_ptr: Array,
 
 
 def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
+    if interpret == "xla":
+        # pure-XLA fallback (shard_map CPU-mesh tests — see band._band_call_xla);
+        # sentinel receivers are out of range and dropped by segment_sum
+        return jax.ops.segment_sum(msgs, receivers, row_ptr.shape[0] - 1,
+                                   indices_are_sorted=True)
     msgs, c_orig = _pad_lanes(msgs)
     e_pad, c = msgs.shape
     n_pad = row_ptr.shape[0] - 1
@@ -280,7 +295,7 @@ def _segment_sum_impl(msgs, receivers, row_ptr, interpret):
                                    memory_space=pltpu.VMEM),
             scratch_shapes=_stream_scratch([(c, msgs.dtype)], chunk=chunk),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, c), msgs.dtype),
+        out_shape=_out_struct((n_pad, c), msgs.dtype, msgs),
         interpret=interpret,
     )(row_ptr, msgs, recv_row)[:, :c_orig]
 

@@ -93,6 +93,11 @@ class SpatialShards:
     halo_receivers: Optional[Array] = None   # [D, E_halo_pad] (sentinel S)
     halo_row_ptr: Optional[Array] = None     # [D, S+1]
     halo_edge_attr: Optional[Array] = None   # [D, E_halo_pad, Ce]
+    # band-dense adjacency of each device's LOCAL edge set (ops/band.BandPair
+    # with leading-D leaves) — the spatial × band composition: local partial
+    # aggregation becomes dense MXU matmuls while halo rows fly (build with
+    # shard_graph(..., band="auto"))
+    loc_band: Optional[Any] = None
     shard_size: int = dataclasses.field(default=0, metadata=dict(static=True))
     num_nodes_padded: int = dataclasses.field(default=0, metadata=dict(static=True))
     # per-ring-offset halo pads (static: shapes of send_off / the halo table)
@@ -113,10 +118,56 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _build_loc_band(D, S, dev_start, is_remote_o, s_o, r_o):
+    """Per-device band structures over the LOCAL edge sets, stacked on a
+    leading D axis (the spatial × band composition). Windows and static
+    counts are unified across devices so the pytrees stack; a device without
+    leftover edges carries sentinel rows that contribute nothing."""
+    import dataclasses as _dc
+
+    from ..ops.band import build_band_pair
+
+    def _loc_edges(d):
+        a, z = dev_start[d], dev_start[d + 1]
+        rm = is_remote_o[a:z]
+        return s_o[a:z][~rm] - d * S, r_o[a:z][~rm] - d * S
+
+    window = 128
+    for d in range(D):
+        ls, lr = _loc_edges(d)
+        bp = build_band_pair(ls, lr, S, "auto")
+        window = max(window, bp.fwd.window, bp.bwd.window)
+    pairs = []
+    for d in range(D):
+        ls, lr = _loc_edges(d)
+        pairs.append(build_band_pair(ls, lr, S, window))
+
+    lo_pad = max(b.lo_src.shape[0] for p in pairs for b in (p.fwd, p.bwd))
+    n_edges = max(b.n_edges for p in pairs for b in (p.fwd, p.bwd))
+    n_lo = max(b.n_lo for p in pairs for b in (p.fwd, p.bwd))
+
+    def _unify(bnd):
+        cur = bnd.lo_src.shape[0]
+        if cur != lo_pad:
+            src = np.full(lo_pad, S, np.int32)
+            dst = np.full(lo_pad, S, np.int32)
+            src[:cur] = bnd.lo_src
+            dst[:cur] = bnd.lo_dst
+            bnd = _dc.replace(bnd, lo_src=src, lo_dst=dst)
+        # unify static metadata so per-device trees stack (n_lo > 0 makes every
+        # device run the leftover branch; sentinel rows are no-ops)
+        return _dc.replace(bnd, n_edges=n_edges, n_lo=n_lo)
+
+    pairs = [_dc.replace(p, fwd=_unify(p.fwd), bwd=_unify(p.bwd))
+             for p in pairs]
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pairs)
+
+
 def shard_graph(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
                 n_dev: int, *, edge_attr: Optional[np.ndarray] = None,
                 node_multiple: int = 256, edge_multiple: int = 512,
-                halo: bool = True, halo_multiple: int = 8) -> SpatialShards:
+                halo: bool = True, halo_multiple: int = 8,
+                band: str = "off") -> SpatialShards:
     """Build per-device shards (host side); with halo=True also precompute the
     per-offset boundary send sets and the local/halo edge split.  Fully
     vectorized (two global lexsorts + slicing) — the round-2 per-pair python
@@ -275,6 +326,9 @@ def shard_graph(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
                        loc_senders=LS, loc_receivers=LR, loc_row_ptr=LRP,
                        loc_edge_attr=LEA, halo_senders=HS, halo_receivers=HR,
                        halo_row_ptr=HRP, halo_edge_attr=HEA)
+        if band == "auto":
+            halo_kw["loc_band"] = _build_loc_band(D, S, dev_start, is_remote_o,
+                                                  s_o, r_o)
 
     return SpatialShards(senders=G_arr, receivers=S_arr, edge_attr=EA,
                          edge_mask=EM, row_ptr=RP, node_mask=NM,
@@ -354,7 +408,7 @@ class SpatialDeeperGCN:
     """
 
     def __init__(self, cfg: DeeperGCNConfig, axis: str = "gp",
-                 exchange: str = "auto"):
+                 exchange: str = "auto", band_interpret: bool = False):
         assert cfg.block in ("res+", "res", "plain"), (
             f"spatial path implements res+/res/plain blocks, not {cfg.block!r}")
         assert not cfg.add_virtual_node and not cfg.graph_pooling, (
@@ -364,6 +418,9 @@ class SpatialDeeperGCN:
         self.cfg = cfg
         self.axis = axis
         self.exchange = exchange
+        # "xla" = pure-XLA band emulation for CPU-mesh tests (the Pallas
+        # interpreter can't run inside shard_map's vma checker, jax 0.9)
+        self._band_interpret = "xla" if band_interpret else False
         self.inner = DeeperGCN(cfg)
 
     def init(self, key):
@@ -375,6 +432,53 @@ class SpatialDeeperGCN:
 
     def _exchange(self, h_local, sh: SpatialShards):
         return exchange_sources(h_local, sh, self.axis, self.exchange)
+
+    # -- spatial × band softmax aggregation (halo mode) ----------------------
+    def _band_gcn_aggregate(self, h_local, my, t, y, gcn):
+        from ..ops.band import band_spmm
+        from ..ops.spmm_pallas import segment_sum_csr
+
+        eps = gcn.eps
+        grad_w = gcn.learn_t and gcn.aggr in ("softmax", "softmax_sum")
+        t_f = jnp.asarray(t, jnp.float32).reshape(-1)[0]
+        c = h_local.shape[1]
+        cp = -(-c // 128) * 128
+        hp = jnp.pad(h_local, ((0, 0), (0, cp - c))) if cp != c else h_local
+        # global-channel stabilizer: every halo row is some device's local row,
+        # so one pmax of the per-device channel maxima bounds ALL scores
+        # stop-grad BEFORE pmax: it has no differentiation rule, and the
+        # stabilizer cancels analytically anyway
+        ub = jnp.max(jax.nn.relu(hp.astype(jnp.float32)), axis=0) + eps
+        ub = jax.lax.pmax(jax.lax.stop_gradient(ub), self.axis)
+        cmax = jax.lax.stop_gradient(jnp.where(t_f > 0, t_f * ub, t_f * eps))
+        cd = h_local.dtype
+
+        def pack(tab):
+            mt = jax.nn.relu(tab.astype(jnp.float32)) + eps
+            et = jnp.exp(mt * t_f - cmax[None, :])
+            if not grad_w:
+                et = jax.lax.stop_gradient(et)
+            return jnp.concatenate([et * mt, et], axis=1).astype(cd)
+
+        parts = start_halo_exchange(hp, my, self.axis)
+        agg = band_spmm(pack(hp), my.loc_band, self._band_interpret)
+        halo_tab = jnp.concatenate(parts, axis=0)
+        p_h = pack(halo_tab)
+        xg = jnp.take(p_h, jnp.minimum(my.halo_senders, p_h.shape[0] - 1),
+                      axis=0)
+        agg = agg + segment_sum_csr(xg, my.halo_receivers, my.halo_row_ptr,
+                                    self._band_interpret).astype(agg.dtype)
+        num = agg[:, :c].astype(jnp.float32)
+        den = agg[:, cp:cp + c].astype(jnp.float32)
+        m = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+        m = m.astype(h_local.dtype)
+        if gcn.aggr == "softmax_sum":
+            from ..ops.segment import segment_degree
+
+            deg = segment_degree(my.receivers, my.node_mask.shape[0],
+                                 my.edge_mask, dtype=jnp.float32)
+            m = (jnp.power(deg, jax.nn.sigmoid(y))[:, None]).astype(m.dtype) * m
+        return m
 
     # -- one GENConv on a shard --------------------------------------------
     def _gcn_apply(self, lp, ls, h_local, sh: SpatialShards, d_index, edge_emb,
@@ -391,7 +495,19 @@ class SpatialDeeperGCN:
                       y=lp.get("y", gcn.y), learn_t=gcn.learn_t)
         enc = gcn._edge_encoder()
 
-        if self._use_halo(sh):
+        if (self._use_halo(sh) and my.loc_band is not None and edge_emb is None
+                and enc is None and my.loc_edge_attr is None
+                and gcn.aggr in ("softmax", "softmax_sg", "softmax_sum")):
+            # spatial × band: local partial num/den = dense band MXU matmuls
+            # over the packed node table [e·m | e] while the halo permutes fly;
+            # halo partial rides take+CSR. Stop-grad-weights semantics
+            # (`torch_message.py:51-55`) hold compositionally: with e under
+            # stop_gradient, out = (A@(sg(e)·m))/(A@sg(e)) has d·/dm = w
+            # exactly; learn-t keeps e differentiable (quotient rule = the
+            # reference's learned-weights gradient).
+            m = self._band_gcn_aggregate(h_local, my, t, lp.get("y", gcn.y),
+                                         gcn)
+        elif self._use_halo(sh):
             # overlap: issue the halo permutes, aggregate LOCAL edges while the
             # boundary rows fly, then fold in the halo partials (exact combine,
             # ops/segment.generalized_aggregate_split).
@@ -538,7 +654,7 @@ def spatial_forward(model: SpatialDeeperGCN, mesh: Mesh, axis: str = "gp"):
 
     fn = shard_map(_fwd, mesh=mesh,
                    in_specs=(P(), P(), P(axis), P(axis)),
-                   out_specs=P(axis), )
+                   out_specs=P(axis))
     return jax.jit(fn)
 
 

@@ -142,3 +142,76 @@ def test_spatial_train_step_matches_single_chip_grads(rng_np):
                     jax.tree_util.tree_leaves(p_want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
                                    atol=3e-5)
+
+
+def test_spatial_band_matches_single_chip(rng_np):
+    """Spatial × band composition: local partial aggregation through the
+    band-dense kernel (interpret mode), halo partial via take+CSR — output
+    equals the single-chip model."""
+    n = 900
+    x, s, r, _, cfg = setup(rng_np, n=n)
+    model = SpatialDeeperGCN(cfg, exchange="halo", band_interpret=True)
+    params, state = model.init(jax.random.PRNGKey(7))
+    shards = shard_graph(s, r, n, N_DEV, band="auto")
+    assert shards.loc_band is not None
+    xs = jnp.asarray(shard_nodes(x, shards))
+    mesh = make_mesh(("gp",), devices=jax.devices()[:N_DEV])
+    out = np.asarray(spatial_forward(model, mesh)(
+        params, state, xs, jax.device_put(shards)))
+    want = single_chip_logits(x, s, r, None, cfg, params, state, n)
+    np.testing.assert_allclose(out.reshape(-1, cfg.num_tasks)[:n], want,
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_spatial_band_train_step_matches_single_chip(rng_np):
+    """Gradients through the band branch (incl. stop-grad-weights softmax_sg
+    semantics and learn_t) equal the single-chip step."""
+    import dataclasses
+
+    n = 640
+    x, s, r, _, cfg = setup(rng_np, n=n, tasks=4, num_layers=2)
+    for aggr, learn_t in (("softmax_sg", False), ("softmax", True)):
+        cfg2 = dataclasses.replace(cfg, aggr=aggr, learn_t=learn_t, t=0.8)
+        model = SpatialDeeperGCN(cfg2, exchange="halo", band_interpret=True)
+        params, state = model.init(jax.random.PRNGKey(8))
+        labels = rng_np.integers(0, 4, n)
+        shards = shard_graph(s, r, n, N_DEV, band="auto")
+        xs = jnp.asarray(shard_nodes(x, shards))
+        lab_sh = jnp.asarray(shard_nodes(labels[:, None].astype(np.int32),
+                                         shards)[..., 0])
+        mask_sh = jnp.asarray(np.asarray(shards.node_mask))
+        mesh = make_mesh(("gp",), devices=jax.devices()[:N_DEV])
+        tx = optax.sgd(0.1)
+        opt_state = tx.init(params)
+
+        def sum_loss(logits, lab, m):
+            logp = jax.nn.log_softmax(logits, -1)
+            nll = -jnp.take_along_axis(logp, lab[:, None], 1)[:, 0]
+            m = m.astype(nll.dtype)
+            return jnp.sum(nll * m), jnp.sum(m)
+
+        # single-chip reference step FIRST (spatial_train_step donates params)
+        g = build_graph(x, s, r, num_nodes=n)
+        ref_model = DeeperGCN(cfg2)
+        lab_full = jnp.asarray(np.pad(labels, (0, g.num_nodes_padded - n)))
+        mask_full = jnp.asarray(np.asarray(g.node_mask))
+
+        def lossf(p):
+            logits, _ = ref_model.apply(p, state, jnp.asarray(np.asarray(g.x)),
+                                        g, train=True, rng=jax.random.PRNGKey(0))
+            ls, cnt = sum_loss(logits, lab_full, mask_full)
+            return ls / jnp.maximum(cnt, 1.0)
+
+        ref_loss, grads = jax.value_and_grad(lossf)(params)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        p_ref = optax.apply_updates(params, upd)
+
+        step = spatial_train_step(model, tx, sum_loss, mesh)
+        p2, _, _, loss = step(params, state, opt_state, xs,
+                              jax.device_put(shards), lab_sh, mask_sh,
+                              jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p2),
+                        jax.tree_util.tree_leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=4e-3,
+                                       atol=4e-5)
