@@ -26,7 +26,10 @@ from ..ops.segment import (
     fused_gather_ok, generalized_aggregate, scatter, segment_degree,
     segment_softmax, segment_sum,
 )
-from ..ops.band import band_ok, band_softmax_agg_auto
+from ..ops.band import (
+    BAND_SOFTMAX_AGGRS, band_interpret, band_ok, band_softmax_agg_auto,
+    band_sum_auto, band_sum_ok,
+)
 from ..ops.spmm_pallas import fused_softmax_gather_agg_auto
 from ..ops.gather import gather_dst_auto, gather_src_auto
 from ..ops.knn import dilated_knn_graph_flat
@@ -166,16 +169,37 @@ class GENConv(Module):
             edge_emb is None
             or (edge_emb_csc is not None and edge_emb.shape == (g.num_edges_padded,
                                                                 x.shape[1])))
-        if band:
+        if band and self.aggr in BAND_SOFTMAX_AGGRS:
             # gather-free band-dense path (locality-ordered graphs, no edge
             # embeddings): num/den are one dense-band SpMM of node tables and
             # the VJP one transposed band SpMM (ops/band.py).
             m = band_softmax_agg_auto(x.astype(cd), g.band,
                                       jnp.asarray(t, jnp.float32), self.eps,
-                                      grad_w)
+                                      grad_w, band_interpret())
             if self.aggr == "softmax_sum":
                 deg = segment_degree(g.receivers, n, g.edge_mask, dtype=jnp.float32)
                 m = (jnp.power(deg, jax.nn.sigmoid(y))[:, None]).astype(m.dtype) * m
+        elif band:
+            # sum-family aggregators, node-factored: the message relu(x)+ε is a
+            # node table, so mean/power aggregation is one band SpMM of a node
+            # table plus per-node scalar work (`torch_message.py:57-85`
+            # semantics, gather-free).
+            msg = jax.nn.relu(x.astype(jnp.float32)) + self.eps
+            deg = segment_degree(g.receivers, n, g.edge_mask, dtype=jnp.float32)
+            if self.aggr in ("power", "power_sum"):
+                lo, hi = 1e-7, 1e1  # reference clamps (`torch_message.py:69-73`)
+                mp = jnp.power(jnp.clip(msg, lo, hi), p)
+                s = band_sum_auto(mp.astype(cd), g.band,
+                                  band_interpret()).astype(jnp.float32)
+                m = jnp.power(jnp.clip(s / jnp.maximum(deg, 1.0)[:, None], lo, hi),
+                              1.0 / p)
+                if self.aggr == "power_sum":
+                    m = jnp.power(deg, jax.nn.sigmoid(y))[:, None] * m
+            else:  # add / sum / mean
+                s = band_sum_auto(msg.astype(cd), g.band,
+                                  band_interpret()).astype(jnp.float32)
+                m = s / jnp.maximum(deg, 1.0)[:, None] if self.aggr == "mean" else s
+            m = m.astype(cd)
         elif fused:
             # single-gather fused path: relu+ε message, stabilized exp, and both
             # one-hot dots happen inside one kernel pass; the backward is the CSC
@@ -408,20 +432,39 @@ class RSAGEConv(Module):
               axis_name=None, **kw):
         n = x.shape[0]
         emask = _no_self_mask(g)
-        if self.relative:
-            rel = gather_src_auto(x, g) - gather_dst_auto(x, g)
-            msg = rel @ params["w"]
-            self_msg = jnp.zeros((n, self.out_dim), msg.dtype)
+        if band_sum_ok(g, x.shape[1]):
+            # gather-free band route (ops/band.py). The band covers ALL valid
+            # edges; SAGE excludes self loops, so subtract their closed-form
+            # contribution: relative messages vanish on self edges
+            # (x_i − x_i = 0 ⇒ Σ_noself (x_j−x_i) = A@x − deg_all·x), and for
+            # plain messages each self edge contributes xt_i (count c_self).
+            if self.relative:
+                deg_all = segment_degree(g.receivers, n, mask=g.edge_mask)
+                s = (band_sum_auto(x, g.band, band_interpret())
+                     - deg_all[:, None] * x) @ params["w"]
+            else:
+                xt = x @ params["w"]
+                c_self = segment_degree(g.receivers, n,
+                                        mask=g.edge_mask & (g.senders == g.receivers))
+                s = (band_sum_auto(xt, g.band, band_interpret())
+                     - c_self[:, None] * xt) + xt
         else:
-            msg = gather_src_auto(x, g) @ params["w"]
-            self_msg = x @ params["w"]
-        # mean over neighbors ∪ {self}
-        s = segment_sum(msg, g.receivers, n, mask=emask, row_ptr=g.row_ptr) + self_msg
+            if self.relative:
+                rel = gather_src_auto(x, g) - gather_dst_auto(x, g)
+                msg = rel @ params["w"]
+                self_msg = jnp.zeros((n, self.out_dim), msg.dtype)
+            else:
+                msg = gather_src_auto(x, g) @ params["w"]
+                self_msg = x @ params["w"]
+            # mean over neighbors ∪ {self}
+            s = segment_sum(msg, g.receivers, n, mask=emask,
+                            row_ptr=g.row_ptr) + self_msg
         cnt = segment_degree(g.receivers, n, mask=emask) + 1.0
         agg = s / cnt[:, None]
         h = jnp.concatenate([x, agg], axis=1)
-        out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
-                                   mask=g.node_mask, axis_name=axis_name)
+        out, ns = self._nn().apply(params["nn"], state.get("nn", {}), h,
+                                   train=train, rng=rng, mask=g.node_mask,
+                                   axis_name=axis_name)
         if self.bias:
             out = out + params["b"]
         if self.norm is not None and str(self.norm).lower() != "none":
@@ -468,9 +511,15 @@ class SemiGCNConv(Module):
         has_self = segment_degree(g.receivers, n, mask=is_self)
         deg = segment_degree(g.receivers, n, mask=emask) + (1.0 - jnp.minimum(has_self, 1.0))
         dinv = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
-        coef = gather(dinv, g.receivers) * gather(dinv, g.senders)
-        msg = gather_src_auto(xt, g) * coef[:, None]
-        out = segment_sum(msg, g.receivers, n, mask=emask, row_ptr=g.row_ptr)
+        if band_sum_ok(g, xt.shape[1]):
+            # sym-norm factorizes per node: Σ_j dinv_i·dinv_j·xt_j =
+            # dinv_i · (A @ (dinv·xt)) — one gather-free band SpMM (ops/band.py)
+            out = dinv[:, None] * band_sum_auto(dinv[:, None] * xt, g.band,
+                                                band_interpret())
+        else:
+            coef = gather(dinv, g.receivers) * gather(dinv, g.senders)
+            msg = gather_src_auto(xt, g) * coef[:, None]
+            out = segment_sum(msg, g.receivers, n, mask=emask, row_ptr=g.row_ptr)
         # analytic self-loop term only for nodes without an explicit self edge
         out = out + xt * ((1.0 - jnp.minimum(has_self, 1.0)) * dinv * dinv)[:, None]
         if self.bias:
@@ -509,8 +558,12 @@ class GINConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        agg = segment_sum(gather_src_auto(x, g), g.receivers, x.shape[0],
-                          mask=g.edge_mask, row_ptr=g.row_ptr)
+        if band_sum_ok(g, x.shape[1]):
+            # gather-free: GIN's neighbor sum is exactly A @ x (ops/band.py)
+            agg = band_sum_auto(x, g.band, band_interpret())
+        else:
+            agg = segment_sum(gather_src_auto(x, g), g.receivers, x.shape[0],
+                              mask=g.edge_mask, row_ptr=g.row_ptr)
         h = (1.0 + self.eps) * x + agg
         out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
                                    mask=g.node_mask, axis_name=axis_name)

@@ -23,7 +23,7 @@ from ..graph import Graph
 from ..nn.core import Linear, Module, dropout, make_norm, shared_dropout_mask
 from ..rev.coupling import GroupAdditiveCoupling
 from ..rev.invertible import make_reversible_scan
-from ..rev.rev_layer import GENBlock
+from ..rev.rev_layer import GCNBlock, GENBlock, SAGEBlock
 
 Array = jax.Array
 
@@ -52,6 +52,11 @@ class RevGCNConfig:
     dropout: float = 0.0
     use_one_hot_encoding: bool = True
     compute_dtype: str = "float32"
+    # group-function flavor (`eff_gcn_modules/rev/rev_layer.py:54-94`):
+    # "gen" (GENBlock, the RevGNN-proteins flagship), "gcn" (SemiGCN),
+    # "sage" (GraphSAGE).  The reference's GATBlock variant is the separate
+    # RevGAT model (models/rev_gat.py).
+    conv: str = "gen"
 
 
 class RevGCN(Module):
@@ -60,20 +65,29 @@ class RevGCN(Module):
         self.cfg = cfg
         c = cfg
         cg = c.hidden_channels // c.group
-        self._fm = GENBlock(
-            cg, cg, aggr=c.aggr, t=c.t, learn_t=c.learn_t, p=c.p, learn_p=c.learn_p,
-            y=c.y, learn_y=c.learn_y, msg_norm=c.msg_norm,
-            learn_msg_scale=c.learn_msg_scale, encode_edge=c.conv_encode_edge,
-            edge_feat_dim=c.hidden_channels, norm=c.norm, mlp_layers=c.mlp_layers,
-            compute_dtype=c.compute_dtype)
+        if c.conv == "gen":
+            self._fm = GENBlock(
+                cg, cg, aggr=c.aggr, t=c.t, learn_t=c.learn_t, p=c.p,
+                learn_p=c.learn_p, y=c.y, learn_y=c.learn_y, msg_norm=c.msg_norm,
+                learn_msg_scale=c.learn_msg_scale, encode_edge=c.conv_encode_edge,
+                edge_feat_dim=c.hidden_channels, norm=c.norm,
+                mlp_layers=c.mlp_layers, compute_dtype=c.compute_dtype)
+        elif c.conv == "gcn":
+            self._fm = GCNBlock(cg, cg, norm=c.norm)
+        elif c.conv == "sage":
+            self._fm = SAGEBlock(cg, cg, norm=c.norm)
+        else:
+            raise NotImplementedError(
+                f"RevGCN conv {c.conv!r} (gen/gcn/sage; GAT → models.rev_gat)")
         self._coupling = GroupAdditiveCoupling(self._fm, group=c.group)
         enc_in = c.node_feat_dim + (c.in_channels if c.use_one_hot_encoding else 0)
         self._one_hot = Linear(c.in_channels, c.in_channels) if c.use_one_hot_encoding else None
         self._encoder = Linear(enc_in, c.hidden_channels)
         # edge_feat_dim == 0 → no edge features in the task (e.g. arxiv-style
-        # node-only graphs under the reversible stack)
+        # node-only graphs under the reversible stack); GCN/SAGE group
+        # functions take no edge features (`rev_layer.py:80-94`)
         self._edge_encoder = (Linear(c.edge_feat_dim, c.hidden_channels)
-                              if c.edge_feat_dim else None)
+                              if c.edge_feat_dim and c.conv == "gen" else None)
         self._last_norm = make_norm(c.norm, c.hidden_channels)
         self._pred = Linear(c.hidden_channels, c.num_tasks)
 

@@ -422,6 +422,47 @@ def band_softmax_agg_auto(x, bands, t, eps: float = 1e-7,
     return out[:, :c] if pad else out
 
 
+def band_sum_auto(x: Array, bands: BandPair, interpret: bool = False) -> Array:
+    """Lane-padding wrapper over ``band_spmm``: out[r] = Σ_{e: recv=r} x[send_e]
+    over the graph's VALID edges (with multiplicity, self edges included) —
+    gather-free twin of ``ops.segment.segment_sum(gather(x), receivers)``.
+    Convs whose aggregation is node-factorable (GIN's sum, SemiGCN's sym-norm,
+    SAGE's mean, GENConv's mean/power families) route here via the band gates."""
+    c = x.shape[1]
+    pad = (-c) % 128
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    out = band_spmm(x, bands, interpret)
+    return out[:, :c] if pad else out
+
+
+# Aggregators with a node-factored band form.  max/min are NOT band-servable
+# (a weighted-sum kernel cannot express them); softmax needs the fused
+# band_softmax_agg; the rest ride plain band_sum_auto on a node table.
+BAND_SOFTMAX_AGGRS = ("softmax", "softmax_sg", "softmax_sum")
+BAND_SUM_AGGRS = ("add", "sum", "mean", "power", "power_sum")
+
+# Test hook: when True, the gates skip the platform check and callers should
+# pass interpret=band_interpret() so the XLA emulation runs (CPU parity tests;
+# tests/test_band_convs.py monkeypatches this).
+_TEST_MODE = False
+
+
+def band_interpret():
+    """Interpret mode convs should pass to band calls ("xla" under the CPU
+    test hook, False → Mosaic kernel otherwise)."""
+    return "xla" if _TEST_MODE else False
+
+
+def _band_platform_ok() -> bool:
+    if _TEST_MODE:
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def band_ok(g, c: int, aggr: str, min_coverage: float = 0.5) -> bool:
     """Route GENConv's aggregation to the band path when profitable: a band is
     attached with enough coverage (the leftover rides take+CSR either way —
@@ -430,14 +471,25 @@ def band_ok(g, c: int, aggr: str, min_coverage: float = 0.5) -> bool:
     band = getattr(g, "band", None)
     if band is None:
         return False
-    if aggr not in ("softmax", "softmax_sg", "softmax_sum"):
+    if aggr not in BAND_SOFTMAX_AGGRS + BAND_SUM_AGGRS:
         return False
     if band.fwd.coverage < min_coverage:
         from .segment import _miss
-        return _miss("band_softmax_agg",
+        return _miss("band_agg",
                      f"band coverage {band.fwd.coverage:.2f} < {min_coverage} "
                      "(graph not locality-ordered? run data/reorder.rcm_order)")
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
+    return _band_platform_ok()
+
+
+def band_sum_ok(g, c: int, min_coverage: float = 0.5) -> bool:
+    """Gate for the plain-sum band route used by the non-GEN convs (GIN,
+    SemiGCN, SAGE): band attached with enough coverage, TPU backend."""
+    band = getattr(g, "band", None)
+    if band is None:
         return False
+    if band.fwd.coverage < min_coverage:
+        from .segment import _miss
+        return _miss("band_sum",
+                     f"band coverage {band.fwd.coverage:.2f} < {min_coverage} "
+                     "(graph not locality-ordered? run data/reorder.rcm_order)")
+    return _band_platform_ok()

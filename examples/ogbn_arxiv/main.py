@@ -27,8 +27,23 @@ def get_args():
                    choices=["off", "auto"],
                    help="attach the band-dense adjacency (ops/band.py); "
                         "combine with --reorder cluster on real graphs")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="edge-partitioned spatial parallelism over N devices "
+                        "(parallel/spatial.py): exact full-graph training, "
+                        "halo exchange over ICI; 1 = single chip")
+    p.add_argument("--exchange", type=str, default="auto",
+                   choices=["auto", "halo", "allgather"],
+                   help="spatial source-row exchange strategy")
     p.set_defaults(epochs=500, lr=0.01, dropout=0.5)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.spatial > 1 and args.platform == "cpu":
+        # must precede the first jax import: virtual host devices for the mesh
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.spatial}"
+            ).strip()
+    return args
 
 
 def _reorder(args, rng, s, r, n, x_np, labels, splits):
@@ -66,6 +81,101 @@ def _maybe_band(args, g):
     return g
 
 
+def _model_config(args, in_dim):
+    from deep_gcns_torch_tpu.models import DeeperGCNConfig
+
+    return DeeperGCNConfig(
+        in_channels=in_dim, hidden_channels=args.hidden_channels,
+        num_tasks=args.num_classes, num_layers=args.num_layers, block=args.block,
+        aggr=args.gcn_aggr, t=args.t, learn_t=args.learn_t, p=args.p,
+        learn_p=args.learn_p, y=args.y, learn_y=args.learn_y,
+        msg_norm=args.msg_norm, learn_msg_scale=args.learn_msg_scale,
+        norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
+        compute_dtype=args.compute_dtype, remat=args.remat)
+
+
+def run_spatial(args, exp, logger, scalars, s, r, x_np, labels, splits, in_dim,
+                n):
+    """Edge-partitioned full-graph training over a device mesh
+    (parallel/spatial.py): exact — multi-device step == single-chip step —
+    unlike the reference's lossy random partitioning."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from common import EpochTimer, make_optimizer
+    from deep_gcns_torch_tpu.parallel.mesh import make_mesh
+    from deep_gcns_torch_tpu.parallel.spatial import (
+        SpatialDeeperGCN, shard_graph, shard_nodes, spatial_forward,
+        spatial_train_step)
+    from deep_gcns_torch_tpu.utils.ckpt import save_best, save_ckpt
+    from deep_gcns_torch_tpu.utils.metrics import accuracy
+
+    D = args.spatial
+    devs = jax.devices()
+    assert len(devs) >= D, (
+        f"--spatial {D} needs {D} devices, found {len(devs)} "
+        f"({devs[0].platform}); on CPU use --platform cpu (virtual devices)")
+    mesh = make_mesh(("gp",), devices=devs[:D])
+    on_tpu = devs[0].platform == "tpu"
+    shards = shard_graph(s, r, n, D,
+                         band="auto" if args.band != "off" else "off")
+    logger.info("spatial: D=%d shard=%d halo_rows/dev/layer=%d", D,
+                shards.shard_size, shards.halo_rows_per_device)
+    xs = jnp.asarray(shard_nodes(np.asarray(x_np, np.float32), shards))
+    lab_np = np.asarray(labels).astype(np.int32)
+    lab_sh = jnp.asarray(shard_nodes(lab_np[:, None], shards)[..., 0])
+    tmask = np.zeros(n, np.float32)
+    tmask[np.asarray(splits["train"])] = 1.0
+    m_sh = (jnp.asarray(shard_nodes(tmask[:, None], shards)[..., 0] > 0)
+            & jnp.asarray(np.asarray(shards.node_mask)))
+
+    model = SpatialDeeperGCN(_model_config(args, in_dim),
+                             exchange=args.exchange,
+                             band_interpret=not on_tpu)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
+    tx = make_optimizer(args)
+    opt_state = tx.init(params)
+
+    def loss_fn(logits, lab, m):
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, lab[:, None].astype(jnp.int32), 1)[:, 0]
+        m = m.astype(nll.dtype)
+        return jnp.sum(nll * m), jnp.sum(m)
+
+    step = spatial_train_step(model, tx, loss_fn, mesh)
+    fwd = spatial_forward(model, mesh)
+    sh_dev = jax.device_put(shards)
+    timer = EpochTimer()
+    key = jax.random.PRNGKey(args.seed + 1)
+    best_valid = -1.0
+    for epoch in range(args.epochs):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = step(params, state, opt_state, xs,
+                                              sh_dev, lab_sh, m_sh, sub)
+        if epoch % 5 == 0 or epoch == args.epochs - 1:
+            logits = np.asarray(fwd(params, state, xs, sh_dev))
+            # contiguous ownership: device d holds global rows [d·S, (d+1)·S)
+            pred = logits.reshape(-1, logits.shape[-1])[:n].argmax(-1)
+            accs = {k: accuracy(pred[np.asarray(v)], lab_np[np.asarray(v)])
+                    for k, v in splits.items()}
+            logger.info("epoch %d loss %.4f train %.4f valid %.4f test %.4f "
+                        "(%.2fs)", epoch, float(loss), accs["train"],
+                        accs["valid"], accs["test"], timer.lap())
+            scalars.log(epoch, loss=float(loss),
+                        **{f"acc_{k}": v for k, v in accs.items()})
+            if accs["valid"] > best_valid:
+                best_valid = accs["valid"]
+                if args.save_ckpt:
+                    save_ckpt(os.path.join(exp, "ckpt"), params=params,
+                              state=state, opt_state=opt_state, epoch=epoch,
+                              best_value=best_valid)
+                    save_best(os.path.join(exp, "ckpt"), True)
+    logger.info("best valid acc %.4f; mean epoch %.2fs", best_valid,
+                timer.mean())
+    return best_valid
+
+
 def main():
     args = get_args()
     import jax
@@ -76,7 +186,7 @@ def main():
     import optax
 
     from deep_gcns_torch_tpu.graph import add_self_loops, build_graph, to_undirected
-    from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
+    from deep_gcns_torch_tpu.models import DeeperGCN
     from deep_gcns_torch_tpu.utils.ckpt import load_ckpt, save_best, save_ckpt
     from deep_gcns_torch_tpu.utils.loss import cross_entropy
     from deep_gcns_torch_tpu.utils.metrics import accuracy
@@ -95,7 +205,7 @@ def main():
                   "valid": perm[int(0.6 * n): int(0.8 * n)],
                   "test": perm[int(0.8 * n):]}
         in_dim = 128
-        if args.reorder != "none" or args.band != "off":
+        if args.reorder != "none" or args.band != "off" or args.spatial > 1:
             # rebuild through the same reorder/band pipeline as real data
             n_edge = int(g.n_edge)
             s = np.asarray(g.senders)[:n_edge]
@@ -103,6 +213,9 @@ def main():
             x_np = np.asarray(g.x)[:n]
             s, r, x_np, labels, splits = _reorder(args, rng, s, r, n, x_np,
                                                   labels, splits)
+            if args.spatial > 1:
+                return run_spatial(args, exp, logger, scalars, s, r, x_np,
+                                   labels, splits, in_dim, n)
             g = build_graph(x_np, s, r, num_nodes=n)
             g = _maybe_band(args, g)
     else:
@@ -117,9 +230,12 @@ def main():
         x_np = ds.x
         s, r, x_np, labels, splits = _reorder(args, rng, s, r, n0, x_np,
                                               labels, splits)
+        in_dim = ds.x.shape[1]
+        if args.spatial > 1:
+            return run_spatial(args, exp, logger, scalars, s, r, x_np, labels,
+                               splits, in_dim, n0)
         g = build_graph(x_np, s, r, num_nodes=n0)
         g = _maybe_band(args, g)
-        in_dim = ds.x.shape[1]
 
     n = int(g.n_node)
     band = g.band
@@ -134,14 +250,7 @@ def main():
 
     masks = {k: split_mask(v) for k, v in splits.items()}
 
-    model = DeeperGCN(DeeperGCNConfig(
-        in_channels=in_dim, hidden_channels=args.hidden_channels,
-        num_tasks=args.num_classes, num_layers=args.num_layers, block=args.block,
-        aggr=args.gcn_aggr, t=args.t, learn_t=args.learn_t, p=args.p,
-        learn_p=args.learn_p, y=args.y, learn_y=args.learn_y,
-        msg_norm=args.msg_norm, learn_msg_scale=args.learn_msg_scale,
-        norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
-        compute_dtype=args.compute_dtype, remat=args.remat))
+    model = DeeperGCN(_model_config(args, in_dim))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = make_optimizer(args)
     opt_state = tx.init(params)

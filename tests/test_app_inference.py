@@ -118,3 +118,19 @@ def test_modelnet_train_then_pretrained_eval(tmp_path):
     out = _run("modelnet_cls", "main.py", "--phase", "test",
                "--pretrained_model", ckpts[0][: -len(".npz")], *common)
     assert "Test Overall Acc" in out
+
+
+@pytest.mark.slow
+def test_arxiv_spatial_app(tmp_path):
+    """--spatial N: full-graph edge-partitioned training from the app CLI over
+    a virtual 4-device mesh, incl. the spatial x band x reorder composition."""
+    common = ["--synthetic", "--synthetic_nodes", "1024", "--num_layers", "2",
+              "--hidden_channels", "32", "--num_classes", "8", "--norm", "layer",
+              "--exp_root", str(tmp_path)]
+    out = _run("ogbn_arxiv", "main.py", "--epochs", "2", "--spatial", "4",
+               *common)
+    assert "spatial: D=4" in out
+    out = _run("ogbn_arxiv", "main.py", "--epochs", "2", "--spatial", "4",
+               "--exchange", "halo", "--band", "auto", "--reorder", "cluster",
+               *common)
+    assert "spatial: D=4" in out and "best valid acc" in out

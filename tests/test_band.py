@@ -128,8 +128,19 @@ def test_attach_band_and_gate(rng_np):
     g = attach_band(g, window=512)
     assert g.band is not None
     assert g.band.fwd.coverage > 0.9
-    # gate: correct aggregators only; platform gate means False on CPU tests
+    # gate: platform gate means False on CPU tests without the test hook
     assert band_ok(g, 32, "mean") is False
+    # under the test hook: sum-family and softmax aggregators route, max never
+    # does (a weighted-sum kernel can't express it)
+    import deep_gcns_torch_tpu.ops.band as band_mod
+    try:
+        band_mod._TEST_MODE = True
+        assert band_ok(g, 32, "mean") is True
+        assert band_ok(g, 32, "softmax_sg") is True
+        assert band_ok(g, 32, "power_sum") is True
+        assert band_ok(g, 32, "max") is False
+    finally:
+        band_mod._TEST_MODE = False
     er = build_graph(x, rng_np.integers(0, n, 1500), rng_np.integers(0, n, 1500),
                      num_nodes=n)
     er = attach_band(er, window=128)
