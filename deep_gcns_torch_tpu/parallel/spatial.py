@@ -555,7 +555,7 @@ class SpatialDeeperGCN:
 
     # -- full forward (mirror of DeeperGCN.apply res+ branch) ---------------
     def apply_sharded(self, params, state, x_local, sh: SpatialShards, *,
-                      train=False, rng=None):
+                      train=False, rng=None, node_feats_local=None):
         cfg = self.cfg
         L = cfg.num_layers
         axis = self.axis
@@ -563,6 +563,13 @@ class SpatialDeeperGCN:
         my_mask = sh.node_mask[0]
         d_index = jax.lax.axis_index(axis)
 
+        if inner._one_hot is not None:
+            # proteins input stage (`ogbn_proteins/model.py:84-101`): species
+            # one-hot encoding ‖ edge-aggregated node features, all row-local
+            assert node_feats_local is not None, \
+                "use_one_hot_encoding needs node_feats"
+            oh, _ = inner._one_hot.apply(params["one_hot_encoder"], {}, x_local)
+            x_local = jnp.concatenate([node_feats_local, oh], axis=1)
         h, _ = inner._encoder.apply(params["encoder"], {}, x_local)
         edge_emb = None
         if inner._edge_encoder is not None and sh.edge_attr is not None:
@@ -645,8 +652,22 @@ class SpatialDeeperGCN:
         return out, new_state
 
 
-def spatial_forward(model: SpatialDeeperGCN, mesh: Mesh, axis: str = "gp"):
-    """Jitted sharded inference: (params, state, x [D,S,C], shards) → logits [D,S,T]."""
+def spatial_forward(model: SpatialDeeperGCN, mesh: Mesh, axis: str = "gp",
+                    with_node_feats: bool = False):
+    """Jitted sharded inference: (params, state, x [D,S,C], shards) → logits
+    [D,S,T]; with_node_feats adds an nf [D,S,Cf] operand after x (the proteins
+    one-hot input stage)."""
+
+    if with_node_feats:
+        def _fwd_nf(params, state, x, nf, sh):
+            out, _ = model.apply_sharded(params, state, x[0], sh, train=False,
+                                         node_feats_local=nf[0])
+            return out[None]
+
+        fn = shard_map(_fwd_nf, mesh=mesh,
+                       in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+                       out_specs=P(axis))
+        return jax.jit(fn)
 
     def _fwd(params, state, x, sh):
         out, _ = model.apply_sharded(params, state, x[0], sh, train=False)
@@ -659,8 +680,34 @@ def spatial_forward(model: SpatialDeeperGCN, mesh: Mesh, axis: str = "gp"):
 
 
 def spatial_train_step(model: SpatialDeeperGCN, tx, loss_fn, mesh: Mesh,
-                       axis: str = "gp"):
-    """Jitted sharded train step: per-shard loss (masked), psum'd grads, optax."""
+                       axis: str = "gp", with_node_feats: bool = False):
+    """Jitted sharded train step: per-shard loss (masked), psum'd grads, optax.
+    with_node_feats adds an nf [D,S,Cf] operand after x."""
+
+    if with_node_feats:
+        def _step_nf(params, state, opt_state, x, nf, sh, labels, lmask, rng):
+            import optax
+
+            x, nf, labels, lmask = x[0], nf[0], labels[0], lmask[0]
+
+            def lossf(p):
+                logits, s2 = model.apply_sharded(p, state, x, sh, train=True,
+                                                 rng=rng, node_feats_local=nf)
+                ls, cnt = loss_fn(logits, labels, lmask)
+                ls = jax.lax.psum(ls, axis)
+                cnt = jax.lax.psum(cnt, axis)
+                return ls / jnp.maximum(cnt, 1.0), s2
+
+            (loss, s2), grads = jax.value_and_grad(lossf, has_aux=True)(params)
+            updates, opt2 = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, s2, opt2, loss
+
+        fn = shard_map(_step_nf, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(axis), P(axis), P(axis),
+                                 P(axis), P(axis), P()),
+                       out_specs=(P(), P(), P(), P()))
+        return jax.jit(fn, donate_argnums=(0, 2))
 
     def _step(params, state, opt_state, x, sh, labels, lmask, rng):
         import optax

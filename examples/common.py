@@ -91,6 +91,32 @@ def add_deeper_gcn_flags(p: argparse.ArgumentParser, *, num_layers=28,
     return p
 
 
+def add_spatial_flags(p: argparse.ArgumentParser):
+    """Edge-partitioned spatial parallelism (parallel/spatial.py) — exact
+    full-graph training over a device mesh; the reference has no multi-device
+    training story at all (lossy per-cluster subgraphs only)."""
+    p.add_argument("--spatial", type=int, default=1,
+                   help="partition the graph's edges over N devices "
+                        "(halo exchange over ICI); 1 = single chip")
+    p.add_argument("--exchange", type=str, default="auto",
+                   choices=["auto", "halo", "allgather"],
+                   help="spatial source-row exchange strategy")
+    return p
+
+
+def apply_spatial_env(args):
+    """CPU-mesh support: force N virtual host devices BEFORE the first jax
+    import (XLA reads the flag at backend init)."""
+    if getattr(args, "spatial", 1) > 1 and getattr(args, "platform", "") == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.spatial}"
+            ).strip()
+    return args
+
+
 def select_platform(args, *, attach_hint_s: float = 20.0):
     """Apply --platform and probe the backend, flagging a stalled TPU attach.
 

@@ -9,7 +9,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, make_optimizer, setup_experiment  # noqa: E402
+from common import (  # noqa: E402
+    EpochTimer, add_deeper_gcn_flags, add_spatial_flags, apply_spatial_env,
+    base_parser, make_optimizer, select_platform, setup_experiment)
 
 
 def get_args():
@@ -27,23 +29,9 @@ def get_args():
                    choices=["off", "auto"],
                    help="attach the band-dense adjacency (ops/band.py); "
                         "combine with --reorder cluster on real graphs")
-    p.add_argument("--spatial", type=int, default=1,
-                   help="edge-partitioned spatial parallelism over N devices "
-                        "(parallel/spatial.py): exact full-graph training, "
-                        "halo exchange over ICI; 1 = single chip")
-    p.add_argument("--exchange", type=str, default="auto",
-                   choices=["auto", "halo", "allgather"],
-                   help="spatial source-row exchange strategy")
+    add_spatial_flags(p)
     p.set_defaults(epochs=500, lr=0.01, dropout=0.5)
-    args = p.parse_args()
-    if args.spatial > 1 and args.platform == "cpu":
-        # must precede the first jax import: virtual host devices for the mesh
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={args.spatial}"
-            ).strip()
-    return args
+    return apply_spatial_env(p.parse_args())
 
 
 def _reorder(args, rng, s, r, n, x_np, labels, splits):

@@ -9,7 +9,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import add_deeper_gcn_flags, base_parser  # noqa: E402
+from common import (add_deeper_gcn_flags, add_spatial_flags,  # noqa: E402
+                    apply_spatial_env, base_parser)
 from proteins_common import run_proteins  # noqa: E402
 
 
@@ -28,8 +29,9 @@ def get_args():
     p.add_argument("--conv_encode_edge", action="store_true", default=True)
     p.add_argument("--use_one_hot_encoding", action="store_true", default=True)
     p.add_argument("--synthetic_degree", type=int, default=30)
+    add_spatial_flags(p)
     p.set_defaults(epochs=1000, lr=0.01, dropout=0.1)
-    return p.parse_args()
+    return apply_spatial_env(p.parse_args())
 
 
 def build_model(args, data):

@@ -75,6 +75,10 @@ def run_proteins(args, model_builder, name: str):
     n = data["num_nodes"]
     labels = data["labels"]
 
+    if getattr(args, "spatial", 1) > 1:
+        return run_proteins_spatial(args, model_builder, data, exp, logger,
+                                    scalars)
+
     model = model_builder(args, data)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = optax.chain(optax.clip_by_global_norm(1.0), make_optimizer(args))
@@ -190,6 +194,113 @@ def run_proteins(args, model_builder, name: str):
                           meta={"epoch": epoch, "best_valid": best_valid})
     if ckpt is not None:
         ckpt.wait()
+    logger.info("best valid ROC-AUC %.4f; mean eval-epoch %.1fs", best_valid,
+                timer.mean())
+    return best_valid, results
+
+
+def run_proteins_spatial(args, model_builder, data, exp, logger, scalars):
+    """Full-graph spatial training (--spatial N): the graph's edges partition
+    over an N-device mesh with halo exchange (parallel/spatial.py) — EXACT
+    full-batch training and eval, where the reference (and the cluster loop
+    above) train on lossy random subgraphs and average noisy partition evals
+    (`examples/ogb_eff/ogbn_proteins/main.py:158-173`).  Works for both the
+    DeeperGCN (DyResGEN) and reversible (RevGCN) proteins models; one 'epoch'
+    is one full-graph step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from common import EpochTimer, make_optimizer
+    from deep_gcns_torch_tpu.models.rev_gcn import RevGCN
+    from deep_gcns_torch_tpu.parallel.mesh import make_mesh
+    from deep_gcns_torch_tpu.parallel.spatial import (
+        SpatialDeeperGCN, shard_graph, shard_nodes, spatial_forward,
+        spatial_train_step)
+    from deep_gcns_torch_tpu.parallel.spatial_rev import (
+        SpatialRevGCN, spatial_rev_forward, spatial_rev_train_step)
+    from deep_gcns_torch_tpu.utils.ckpt import save_best, save_ckpt
+    from deep_gcns_torch_tpu.utils.metrics import roc_auc
+
+    n = data["num_nodes"]
+    labels = data["labels"]
+    num_tasks = labels.shape[1]
+    D = args.spatial
+    devs = jax.devices()
+    assert len(devs) >= D, (
+        f"--spatial {D} needs {D} devices, found {len(devs)} "
+        f"({devs[0].platform}); on CPU use --platform cpu (virtual devices)")
+    mesh = make_mesh(("gp",), devices=devs[:D])
+    exchange = getattr(args, "exchange", "auto")
+
+    inner = model_builder(args, data)
+    rev = isinstance(inner, RevGCN)
+    model = (SpatialRevGCN(inner.cfg, exchange=exchange) if rev
+             else SpatialDeeperGCN(inner.cfg, exchange=exchange))
+
+    shards = shard_graph(data["senders"], data["receivers"], n, D,
+                         edge_attr=data["edge_attr"])
+    logger.info("spatial: D=%d shard=%d halo_rows/dev/layer=%d model=%s", D,
+                shards.shard_size, shards.halo_rows_per_device,
+                "RevGCN" if rev else "DeeperGCN")
+    xs = jnp.asarray(shard_nodes(data["species"], shards))
+    nfs = jnp.asarray(shard_nodes(data["node_feats"], shards))
+    lab_sh = jnp.asarray(shard_nodes(labels, shards))
+    tmask = np.zeros(n, np.float32)
+    tmask[np.asarray(data["splits"]["train"])] = 1.0
+    m_sh = (jnp.asarray(shard_nodes(tmask[:, None], shards)[..., 0] > 0)
+            & jnp.asarray(np.asarray(shards.node_mask)))
+
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), make_optimizer(args))
+    opt_state = tx.init(params)
+
+    def loss_fn(logits, lab, m):
+        # masked multi-task BCE, (sum, count) so the cross-shard mean is exact
+        mf = m.astype(jnp.float32)
+        per = optax.sigmoid_binary_cross_entropy(logits, lab)
+        return jnp.sum(per * mf[:, None]), jnp.sum(mf) * num_tasks
+
+    if rev:
+        step = spatial_rev_train_step(model, tx, loss_fn, mesh)
+        fwd = spatial_rev_forward(model, mesh)
+    else:
+        step = spatial_train_step(model, tx, loss_fn, mesh,
+                                  with_node_feats=True)
+        fwd = spatial_forward(model, mesh, with_node_feats=True)
+    sh_dev = jax.device_put(shards)
+
+    timer = EpochTimer()
+    key = jax.random.PRNGKey(args.seed + 1)
+    best_valid, results = -1.0, {}
+    for epoch in range(args.epochs):
+        key, sub = jax.random.split(key)
+        if rev:
+            params, opt_state, loss = step(params, opt_state, xs, nfs, sh_dev,
+                                           lab_sh, m_sh, sub)
+        else:
+            params, state, opt_state, loss = step(params, state, opt_state, xs,
+                                                  nfs, sh_dev, lab_sh, m_sh,
+                                                  sub)
+        if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
+            if rev:
+                logits = np.asarray(fwd(params, xs, nfs, sh_dev))
+            else:
+                logits = np.asarray(fwd(params, state, xs, nfs, sh_dev))
+            # contiguous ownership: device d holds global rows [d·S, (d+1)·S)
+            pred = logits.reshape(-1, num_tasks)[:n]
+            results = {k: roc_auc(pred[idx], labels[idx])
+                       for k, idx in data["splits"].items()}
+            logger.info("epoch %d loss %.4f train %.4f valid %.4f test %.4f "
+                        "(%.1fs)", epoch, float(loss), results["train"],
+                        results["valid"], results["test"], timer.lap())
+            scalars.log(epoch, loss=float(loss),
+                        **{f"auc_{k}": v for k, v in results.items()})
+            if results["valid"] > best_valid:
+                best_valid = results["valid"]
+                save_ckpt(os.path.join(exp, "ckpt_best"), params=params,
+                          state=state, epoch=epoch, best_value=best_valid)
+                save_best(os.path.join(exp, "ckpt_best"), True)
     logger.info("best valid ROC-AUC %.4f; mean eval-epoch %.1fs", best_valid,
                 timer.mean())
     return best_valid, results

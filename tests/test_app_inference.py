@@ -134,3 +134,18 @@ def test_arxiv_spatial_app(tmp_path):
                "--exchange", "halo", "--band", "auto", "--reorder", "cluster",
                *common)
     assert "spatial: D=4" in out and "best valid acc" in out
+
+
+@pytest.mark.slow
+def test_proteins_spatial_apps(tmp_path):
+    """--spatial N on both proteins apps: exact full-graph training over a
+    virtual 4-device mesh (DeeperGCN halo path; RevGCN = reversible scan with
+    the source exchange inside every group function)."""
+    common = ["--synthetic", "--synthetic_nodes", "1024", "--synthetic_degree",
+              "8", "--epochs", "2", "--eval_every", "1", "--spatial", "4",
+              "--hidden_channels", "16", "--exp_root", str(tmp_path)]
+    out = _run("ogbn_proteins", "main.py", "--num_layers", "3", *common)
+    assert "spatial: D=4" in out and "model=DeeperGCN" in out
+    out = _run("ogb_eff/ogbn_proteins", "main.py", "--num_layers", "4",
+               "--group", "2", *common)
+    assert "spatial: D=4" in out and "model=RevGCN" in out
