@@ -9,6 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from spatial_common import run_spatial  # noqa: E402
 from common import (  # noqa: E402
     EpochTimer, add_deeper_gcn_flags, add_spatial_flags, apply_spatial_env,
     base_parser, make_optimizer, select_platform, setup_experiment)
@@ -67,101 +68,6 @@ def _maybe_band(args, g):
         "band attached: window=%d coverage=%.3f (bwd %.3f)",
         g.band.fwd.window, g.band.fwd.coverage, g.band.bwd.coverage)
     return g
-
-
-def _model_config(args, in_dim):
-    from deep_gcns_torch_tpu.models import DeeperGCNConfig
-
-    return DeeperGCNConfig(
-        in_channels=in_dim, hidden_channels=args.hidden_channels,
-        num_tasks=args.num_classes, num_layers=args.num_layers, block=args.block,
-        aggr=args.gcn_aggr, t=args.t, learn_t=args.learn_t, p=args.p,
-        learn_p=args.learn_p, y=args.y, learn_y=args.learn_y,
-        msg_norm=args.msg_norm, learn_msg_scale=args.learn_msg_scale,
-        norm=args.norm, mlp_layers=args.mlp_layers, dropout=args.dropout,
-        compute_dtype=args.compute_dtype, remat=args.remat)
-
-
-def run_spatial(args, exp, logger, scalars, s, r, x_np, labels, splits, in_dim,
-                n):
-    """Edge-partitioned full-graph training over a device mesh
-    (parallel/spatial.py): exact — multi-device step == single-chip step —
-    unlike the reference's lossy random partitioning."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from common import EpochTimer, make_optimizer
-    from deep_gcns_torch_tpu.parallel.mesh import make_mesh
-    from deep_gcns_torch_tpu.parallel.spatial import (
-        SpatialDeeperGCN, shard_graph, shard_nodes, spatial_forward,
-        spatial_train_step)
-    from deep_gcns_torch_tpu.utils.ckpt import save_best, save_ckpt
-    from deep_gcns_torch_tpu.utils.metrics import accuracy
-
-    D = args.spatial
-    devs = jax.devices()
-    assert len(devs) >= D, (
-        f"--spatial {D} needs {D} devices, found {len(devs)} "
-        f"({devs[0].platform}); on CPU use --platform cpu (virtual devices)")
-    mesh = make_mesh(("gp",), devices=devs[:D])
-    on_tpu = devs[0].platform == "tpu"
-    shards = shard_graph(s, r, n, D,
-                         band="auto" if args.band != "off" else "off")
-    logger.info("spatial: D=%d shard=%d halo_rows/dev/layer=%d", D,
-                shards.shard_size, shards.halo_rows_per_device)
-    xs = jnp.asarray(shard_nodes(np.asarray(x_np, np.float32), shards))
-    lab_np = np.asarray(labels).astype(np.int32)
-    lab_sh = jnp.asarray(shard_nodes(lab_np[:, None], shards)[..., 0])
-    tmask = np.zeros(n, np.float32)
-    tmask[np.asarray(splits["train"])] = 1.0
-    m_sh = (jnp.asarray(shard_nodes(tmask[:, None], shards)[..., 0] > 0)
-            & jnp.asarray(np.asarray(shards.node_mask)))
-
-    model = SpatialDeeperGCN(_model_config(args, in_dim),
-                             exchange=args.exchange,
-                             band_interpret=not on_tpu)
-    params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
-    tx = make_optimizer(args)
-    opt_state = tx.init(params)
-
-    def loss_fn(logits, lab, m):
-        logp = jax.nn.log_softmax(logits, -1)
-        nll = -jnp.take_along_axis(logp, lab[:, None].astype(jnp.int32), 1)[:, 0]
-        m = m.astype(nll.dtype)
-        return jnp.sum(nll * m), jnp.sum(m)
-
-    step = spatial_train_step(model, tx, loss_fn, mesh)
-    fwd = spatial_forward(model, mesh)
-    sh_dev = jax.device_put(shards)
-    timer = EpochTimer()
-    key = jax.random.PRNGKey(args.seed + 1)
-    best_valid = -1.0
-    for epoch in range(args.epochs):
-        key, sub = jax.random.split(key)
-        params, state, opt_state, loss = step(params, state, opt_state, xs,
-                                              sh_dev, lab_sh, m_sh, sub)
-        if epoch % 5 == 0 or epoch == args.epochs - 1:
-            logits = np.asarray(fwd(params, state, xs, sh_dev))
-            # contiguous ownership: device d holds global rows [d·S, (d+1)·S)
-            pred = logits.reshape(-1, logits.shape[-1])[:n].argmax(-1)
-            accs = {k: accuracy(pred[np.asarray(v)], lab_np[np.asarray(v)])
-                    for k, v in splits.items()}
-            logger.info("epoch %d loss %.4f train %.4f valid %.4f test %.4f "
-                        "(%.2fs)", epoch, float(loss), accs["train"],
-                        accs["valid"], accs["test"], timer.lap())
-            scalars.log(epoch, loss=float(loss),
-                        **{f"acc_{k}": v for k, v in accs.items()})
-            if accs["valid"] > best_valid:
-                best_valid = accs["valid"]
-                if args.save_ckpt:
-                    save_ckpt(os.path.join(exp, "ckpt"), params=params,
-                              state=state, opt_state=opt_state, epoch=epoch,
-                              best_value=best_valid)
-                    save_best(os.path.join(exp, "ckpt"), True)
-    logger.info("best valid acc %.4f; mean epoch %.2fs", best_valid,
-                timer.mean())
-    return best_valid
 
 
 def main():
@@ -238,7 +144,8 @@ def main():
 
     masks = {k: split_mask(v) for k, v in splits.items()}
 
-    model = DeeperGCN(_model_config(args, in_dim))
+    from spatial_common import deeper_gcn_config
+    model = DeeperGCN(deeper_gcn_config(args, in_dim))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
     tx = make_optimizer(args)
     opt_state = tx.init(params)

@@ -11,7 +11,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import select_platform, EpochTimer, add_deeper_gcn_flags, base_parser, make_optimizer, setup_experiment  # noqa: E402
+from common import (select_platform, EpochTimer, add_deeper_gcn_flags,  # noqa: E402
+                    add_spatial_flags, apply_spatial_env, base_parser,
+                    make_optimizer, setup_experiment)
 
 
 def get_args(argv=None):
@@ -22,8 +24,9 @@ def get_args(argv=None):
     p.add_argument("--cluster_number", type=int, default=10)
     p.add_argument("--eval_cluster_number", type=int, default=5)
     p.add_argument("--eval_every", type=int, default=5)
+    add_spatial_flags(p)
     p.set_defaults(epochs=500, lr=0.001, dropout=0.5)
-    return p.parse_args(argv)
+    return apply_spatial_env(p.parse_args(argv))
 
 
 def load_data(args, rng):
@@ -105,6 +108,12 @@ def main():
     exp, logger, scalars = setup_experiment(args, "ogbn_products")
     rng = np.random.default_rng(args.seed)
     x, senders, receivers, labels, splits, in_dim, n = load_data(args, rng)
+
+    if args.spatial > 1:
+        # full-graph exact spatial training replaces the lossy cluster loop
+        from spatial_common import run_spatial
+        return run_spatial(args, exp, logger, scalars, senders, receivers, x,
+                           labels, splits, in_dim, n)
 
     model = build_model(args, in_dim)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))

@@ -149,3 +149,12 @@ def test_proteins_spatial_apps(tmp_path):
     out = _run("ogb_eff/ogbn_proteins", "main.py", "--num_layers", "4",
                "--group", "2", *common)
     assert "spatial: D=4" in out and "model=RevGCN" in out
+
+
+@pytest.mark.slow
+def test_products_spatial_app(tmp_path):
+    out = _run("ogbn_products", "main.py", "--synthetic", "--synthetic_nodes",
+               "1024", "--epochs", "2", "--eval_every", "1", "--spatial", "4",
+               "--num_layers", "2", "--hidden_channels", "24", "--norm",
+               "layer", "--num_classes", "8", "--exp_root", str(tmp_path))
+    assert "spatial: D=4" in out and "best valid acc" in out
