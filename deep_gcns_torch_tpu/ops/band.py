@@ -464,21 +464,13 @@ def _band_platform_ok() -> bool:
 
 
 def band_ok(g, c: int, aggr: str, min_coverage: float = 0.5) -> bool:
-    """Route GENConv's aggregation to the band path when profitable: a band is
-    attached with enough coverage (the leftover rides take+CSR either way —
-    below ~50% coverage the A-matrix DMA exceeds what the skipped gather rows
-    would have cost at the measured 420M rows/s)."""
-    band = getattr(g, "band", None)
-    if band is None:
-        return False
-    if aggr not in BAND_SOFTMAX_AGGRS + BAND_SUM_AGGRS:
-        return False
-    if band.fwd.coverage < min_coverage:
-        from .segment import _miss
-        return _miss("band_agg",
-                     f"band coverage {band.fwd.coverage:.2f} < {min_coverage} "
-                     "(graph not locality-ordered? run data/reorder.rcm_order)")
-    return _band_platform_ok()
+    """Route GENConv's aggregation to the band path when profitable: a
+    band-servable aggregator and a band attached with enough coverage (the
+    leftover rides take+CSR either way — below ~50% coverage the A-matrix DMA
+    exceeds what the skipped gather rows would have cost at the measured
+    420M rows/s)."""
+    return (aggr in BAND_SOFTMAX_AGGRS + BAND_SUM_AGGRS
+            and band_sum_ok(g, c, min_coverage))
 
 
 def band_sum_ok(g, c: int, min_coverage: float = 0.5) -> bool:
@@ -489,7 +481,7 @@ def band_sum_ok(g, c: int, min_coverage: float = 0.5) -> bool:
         return False
     if band.fwd.coverage < min_coverage:
         from .segment import _miss
-        return _miss("band_sum",
+        return _miss("band_agg",
                      f"band coverage {band.fwd.coverage:.2f} < {min_coverage} "
                      "(graph not locality-ordered? run data/reorder.rcm_order)")
     return _band_platform_ok()

@@ -480,6 +480,54 @@ class SpatialDeeperGCN:
             m = (jnp.power(deg, jax.nn.sigmoid(y))[:, None]).astype(m.dtype) * m
         return m
 
+    # -- spatial × band sum-family aggregation (halo mode) -------------------
+    def _band_sum_aggregate(self, h_local, my, p_, y_, gcn):
+        """GENConv sum/mean/power aggregation through the spatial band
+        (round-3 zoo extension): the local partial is ONE dense band SpMM of
+        the node table (relu(h)+ε, or its clipped p-th power — node-factored,
+        `torch_message.py:57-85`), the halo partial rides take+CSR while the
+        permutes fly; mean/power finish as per-node scalar work (edges are
+        receiver-partitioned, so degrees are shard-complete)."""
+        from ..ops.band import band_spmm
+        from ..ops.segment import segment_degree
+        from ..ops.spmm_pallas import segment_sum_csr
+
+        eps = gcn.eps
+        c = h_local.shape[1]
+        cp = -(-c // 128) * 128
+        hp = jnp.pad(h_local, ((0, 0), (0, cp - c))) if cp != c else h_local
+        cd = h_local.dtype
+        power = gcn.aggr in ("power", "power_sum")
+        lo, hi = 1e-7, 1e1  # reference clamps (`torch_message.py:69-73`)
+
+        def tab(t_):
+            m_ = jax.nn.relu(t_.astype(jnp.float32)) + eps
+            if power:
+                m_ = jnp.power(jnp.clip(m_, lo, hi), p_)
+            return m_.astype(cd)
+
+        parts = start_halo_exchange(hp, my, self.axis)
+        agg = band_spmm(tab(hp), my.loc_band, self._band_interpret)
+        halo_tab = jnp.concatenate(parts, axis=0)
+        p_h = tab(halo_tab)
+        xg = jnp.take(p_h, jnp.minimum(my.halo_senders, p_h.shape[0] - 1),
+                      axis=0)
+        agg = agg + segment_sum_csr(xg, my.halo_receivers, my.halo_row_ptr,
+                                    self._band_interpret).astype(agg.dtype)
+        s = agg[:, :c].astype(jnp.float32)
+        deg = segment_degree(my.receivers, my.node_mask.shape[0], my.edge_mask,
+                             dtype=jnp.float32)
+        if gcn.aggr == "mean":
+            m = s / jnp.maximum(deg, 1.0)[:, None]
+        elif power:
+            m = jnp.power(jnp.clip(s / jnp.maximum(deg, 1.0)[:, None], lo, hi),
+                          1.0 / p_)
+            if gcn.aggr == "power_sum":
+                m = jnp.power(deg, jax.nn.sigmoid(y_))[:, None] * m
+        else:  # add / sum
+            m = s
+        return m.astype(h_local.dtype)
+
     # -- one GENConv on a shard --------------------------------------------
     def _gcn_apply(self, lp, ls, h_local, sh: SpatialShards, d_index, edge_emb,
                    train, rng, axis_name):
@@ -491,13 +539,20 @@ class SpatialDeeperGCN:
         if isinstance(t, jax.Array) and not (
                 gcn.learn_t and gcn.aggr in ("softmax", "softmax_sum")):
             t = jax.lax.stop_gradient(t)
-        agg_kw = dict(aggr=gcn.aggr, t=t, p=lp.get("p", gcn.p),
-                      y=lp.get("y", gcn.y), learn_t=gcn.learn_t)
+        # p/y stop-gradient semantics identical to GENConv.apply
+        p_ = lp.get("p", gcn.p)
+        if isinstance(p_, jax.Array) and not gcn.learn_p:
+            p_ = jax.lax.stop_gradient(p_)
+        y_ = lp.get("y", gcn.y)
+        if isinstance(y_, jax.Array) and not gcn.learn_y:
+            y_ = jax.lax.stop_gradient(y_)
+        agg_kw = dict(aggr=gcn.aggr, t=t, p=p_, y=y_, learn_t=gcn.learn_t)
         enc = gcn._edge_encoder()
 
-        if (self._use_halo(sh) and my.loc_band is not None and edge_emb is None
-                and enc is None and my.loc_edge_attr is None
-                and gcn.aggr in ("softmax", "softmax_sg", "softmax_sum")):
+        band_route = (self._use_halo(sh) and my.loc_band is not None
+                      and edge_emb is None and enc is None
+                      and my.loc_edge_attr is None)
+        if band_route and gcn.aggr in ("softmax", "softmax_sg", "softmax_sum"):
             # spatial × band: local partial num/den = dense band MXU matmuls
             # over the packed node table [e·m | e] while the halo permutes fly;
             # halo partial rides take+CSR. Stop-grad-weights semantics
@@ -505,8 +560,10 @@ class SpatialDeeperGCN:
             # stop_gradient, out = (A@(sg(e)·m))/(A@sg(e)) has d·/dm = w
             # exactly; learn-t keeps e differentiable (quotient rule = the
             # reference's learned-weights gradient).
-            m = self._band_gcn_aggregate(h_local, my, t, lp.get("y", gcn.y),
-                                         gcn)
+            m = self._band_gcn_aggregate(h_local, my, t, y_, gcn)
+        elif band_route and gcn.aggr in ("add", "sum", "mean", "power",
+                                         "power_sum"):
+            m = self._band_sum_aggregate(h_local, my, p_, y_, gcn)
         elif self._use_halo(sh):
             # overlap: issue the halo permutes, aggregate LOCAL edges while the
             # boundary rows fly, then fold in the halo partials (exact combine,

@@ -69,11 +69,7 @@ class SpatialGENBlock(Module):
         ee_raw = chunk_args[1] if len(chunk_args) > 1 else None
         my = jax.tree_util.tree_map(lambda a: a[0], sh)  # strip device axis
 
-        nrm = make_norm(blk.norm, blk.in_dim)
-        h, _ = nrm.apply(params["norm"], {}, x, train=train, mask=my.node_mask)
-        h = jax.nn.relu(h)
-        if train and mask_c is not None:
-            h = h * mask_c
+        h = _pre_block(params, blk, x, my, train, mask_c)
 
         gcn = blk._gcn()
         cd = jnp.bfloat16 if gcn.compute_dtype == "bfloat16" else h.dtype

@@ -43,6 +43,7 @@ def main():
         ("RSAGE", RSAGEConv(in_dim=C, out_dim=C, relative=False, norm=None)),
         ("RSAGE-rel", RSAGEConv(in_dim=C, out_dim=C, relative=True, norm=None)),
     ]
+    all_ok = True
     for name, conv in convs:
         params, state = jax.jit(conv.init)(jax.random.PRNGKey(0))
 
@@ -72,10 +73,12 @@ def main():
             return best * 1e3
         tr, tb = t(f_ref), t(f_band)
         ok = rel < 2e-4 and gerr < 2e-3
+        all_ok &= ok
         print(f"{name:14s} loss_rel={rel:.2e} grad_rel={gerr:.2e} "
               f"ref={tr:7.2f}ms band={tb:7.2f}ms x{tr / tb:4.2f} "
               f"{'OK' if ok else 'FAIL'}")
+    return all_ok
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(0 if main() else 1)

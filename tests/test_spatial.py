@@ -215,3 +215,25 @@ def test_spatial_band_train_step_matches_single_chip(rng_np):
                         jax.tree_util.tree_leaves(p_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=4e-3,
                                        atol=4e-5)
+
+
+def test_spatial_band_sum_family_matches_single_chip(rng_np):
+    """Round-3 zoo extension: the spatial × band composition also serves the
+    sum-family aggregators (mean/power) — forward equals the single-chip
+    model (band local partial + take+CSR halo partial)."""
+    import dataclasses
+
+    n = 900
+    x, s, r, _, cfg = setup(rng_np, n=n, num_layers=2)
+    for aggr, learn_p in (("mean", False), ("power", True), ("sum", False)):
+        cfg2 = dataclasses.replace(cfg, aggr=aggr, learn_p=learn_p)
+        model = SpatialDeeperGCN(cfg2, exchange="halo", band_interpret=True)
+        params, state = model.init(jax.random.PRNGKey(11))
+        shards = shard_graph(s, r, n, N_DEV, band="auto")
+        xs = jnp.asarray(shard_nodes(x, shards))
+        mesh = make_mesh(("gp",), devices=jax.devices()[:N_DEV])
+        out = np.asarray(spatial_forward(model, mesh)(
+            params, state, xs, jax.device_put(shards)))
+        want = single_chip_logits(x, s, r, None, cfg2, params, state, n)
+        np.testing.assert_allclose(out.reshape(-1, cfg2.num_tasks)[:n], want,
+                                   rtol=3e-4, atol=3e-5, err_msg=aggr)
