@@ -164,7 +164,7 @@ class GENConv(Module):
         if isinstance(y, jax.Array) and not self.learn_y:
             y = jax.lax.stop_gradient(y)
 
-        band = edge_emb is None and band_ok(g, x.shape[1], self.aggr)
+        band = edge_emb is None and band_ok(g, self.aggr)
         fused = fused_gather_ok(g, x.shape[1], self.aggr) and (
             edge_emb is None
             or (edge_emb_csc is not None and edge_emb.shape == (g.num_edges_padded,
@@ -432,7 +432,7 @@ class RSAGEConv(Module):
               axis_name=None, **kw):
         n = x.shape[0]
         emask = _no_self_mask(g)
-        if band_sum_ok(g, x.shape[1]):
+        if band_sum_ok(g):
             # gather-free band route (ops/band.py). The band covers ALL valid
             # edges; SAGE excludes self loops, so subtract their closed-form
             # contribution: relative messages vanish on self edges
@@ -511,7 +511,7 @@ class SemiGCNConv(Module):
         has_self = segment_degree(g.receivers, n, mask=is_self)
         deg = segment_degree(g.receivers, n, mask=emask) + (1.0 - jnp.minimum(has_self, 1.0))
         dinv = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
-        if band_sum_ok(g, xt.shape[1]):
+        if band_sum_ok(g):
             # sym-norm factorizes per node: Σ_j dinv_i·dinv_j·xt_j =
             # dinv_i · (A @ (dinv·xt)) — one gather-free band SpMM (ops/band.py)
             out = dinv[:, None] * band_sum_auto(dinv[:, None] * xt, g.band,
@@ -558,7 +558,7 @@ class GINConv(Module):
 
     def apply(self, params, state, x, g: Graph, *, train=False, rng=None,
               axis_name=None, **kw):
-        if band_sum_ok(g, x.shape[1]):
+        if band_sum_ok(g):
             # gather-free: GIN's neighbor sum is exactly A @ x (ops/band.py)
             agg = band_sum_auto(x, g.band, band_interpret())
         else:

@@ -58,3 +58,30 @@ def sbm_arxiv_like(rng: np.random.Generator, n: int = 4096, num_classes: int = 1
     s, r = add_self_loops(s, r, n)
     g = build_graph(x, s, r, num_nodes=n, node_pad=node_pad, edge_pad=edge_pad)
     return g, labels
+
+
+def powerlaw_community_edges(rng: np.random.Generator, n: int, avg_degree: int,
+                             n_comm: int = 256, homophily: float = 0.9,
+                             alpha: float = 0.8
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Hub-heavy community graph: the adversarial REALISTIC shape for the
+    band path (a citation/social graph stand-in, NOT a uniform band).
+
+    Sender sampling weight follows a shuffled power law (exponent ``alpha`` —
+    at 0.8/arxiv scale the top 512 senders carry ~25% of edges, max out-degree
+    ~46k), receivers stay in the sender's community w.p. ``homophily`` and are
+    uniform otherwise.  Node ids arrive SHUFFLED: callers must recover layout
+    with data/reorder.cluster_order before attaching a band."""
+    e = n * avg_degree
+    comm = rng.integers(0, n_comm, n)
+    w = (1.0 / (1.0 + np.arange(n, dtype=np.float64))) ** alpha
+    rng.shuffle(w)
+    s = rng.choice(n, e, p=w / w.sum())
+    r = rng.integers(0, n, e)
+    same = rng.random(e) < homophily
+    for k in range(n_comm):
+        m = same & (comm[s] == k)
+        idx = np.flatnonzero(comm == k)
+        if m.any() and idx.size:
+            r[m] = idx[rng.integers(0, idx.size, int(m.sum()))]
+    return s.astype(np.int64), r.astype(np.int64)

@@ -274,17 +274,20 @@ def batch_graphs(
     )
 
 
-def attach_band(g: Graph, window="auto") -> Graph:
+def attach_band(g: Graph, window="auto", hubs="auto") -> Graph:
     """Host-side: build the band-dense adjacency (ops/band.BandPair) from the
     graph's valid edges and attach it.  Profitable for locality-ordered graphs
-    (run data/reorder.rcm_order first); `g.band.fwd.coverage` reports the
-    captured edge fraction.  Call before `jax.device_put`."""
+    (run data/reorder.rcm_order or cluster_order first); `g.band.fwd.coverage`
+    reports the gather-free edge fraction (window band + hub matmuls — see
+    ops/band.Band; ``hubs="auto"`` extracts degree-≥256 nodes into dense hub
+    corrections, a no-op on uniform-degree graphs).  Call before
+    `jax.device_put`."""
     from .ops.band import build_band_pair
 
     n_edge = int(g.n_edge)
     senders = np.asarray(g.senders)[:n_edge]
     receivers = np.asarray(g.receivers)[:n_edge]
-    pair = build_band_pair(senders, receivers, g.num_nodes_padded, window)
+    pair = build_band_pair(senders, receivers, g.num_nodes_padded, window, hubs)
     return g.replace(band=pair)
 
 

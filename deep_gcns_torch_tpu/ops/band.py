@@ -53,7 +53,21 @@ ALIGN = 16      # window-start alignment (bf16 sublane tile)
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Band:
-    """One direction's band structure (A or Aᵀ) plus its off-band leftover."""
+    """One direction's band structure (A or Aᵀ) plus its off-band leftover.
+
+    Power-law graphs defeat a pure window band (hub senders land in every
+    receiver block's window choice; hub receivers have rows no window covers),
+    so a Band optionally carries two dense hub corrections — both plain MXU
+    matmuls, preserving the no-gather property:
+
+      hub columns:  out += A[:, hub_ids] @ x[hub_ids]   (top out-degree senders)
+      hub rows:     out[hub_row_ids] = A[hub_row_ids, :] @ x   (top in-degree
+                    receivers — their FULL rows, excluded from window/leftover)
+
+    Cost per hub column ≈ N_pad bytes of int8 DMA + 2·N_pad·C MACs ≈ 0.4 µs at
+    arxiv scale, vs deg(h)/420M s of skipped leftover gather — profitable for
+    any node with degree ≳ 192 (the "auto" threshold is 256 with margin).
+    """
 
     w_lo: Array         # [NB] int32 window start per receiver block (ALIGN-multiple)
     a: Array            # [NB*BN, W] int8 edge counts, row r = a[r], col = src - w_lo
@@ -62,13 +76,21 @@ class Band:
     lo_src: Array       # [E_lo_pad] int32
     lo_dst: Array       # [E_lo_pad] int32
     lo_row_ptr: Array   # [N_pad + 1] int32
+    # dense hub corrections (None when the degree distribution never crosses
+    # the threshold — e.g. uniform ER / kNN graphs build identical Bands)
+    hub_ids: Optional[Array] = None       # [H] int32 sender ids (0-padded)
+    a_hub: Optional[Array] = None         # [N_pad, H] int8 (padded cols zero)
+    hub_row_ids: Optional[Array] = None   # [R] int32 receiver ids (0-padded)
+    a_row: Optional[Array] = None         # [R, N_pad] int8 (padded rows zero)
     window: int = field(default=512, metadata=dict(static=True))
     n_edges: int = field(default=0, metadata=dict(static=True))
     n_lo: int = field(default=0, metadata=dict(static=True))
+    n_hub: int = field(default=0, metadata=dict(static=True))   # edges via hub cols
+    n_hub_row: int = field(default=0, metadata=dict(static=True))  # via hub rows
 
     @property
     def coverage(self) -> float:
-        """Fraction of edges captured by the dense band."""
+        """Fraction of edges captured gather-free (window band + hub matmuls)."""
         return 1.0 - self.n_lo / max(self.n_edges, 1)
 
 
@@ -110,10 +132,100 @@ def _pick_window(s, blk_start, nb, n_pad) -> int:
     return cands[int(np.argmax(score))]
 
 
+HUB_DEGREE = 256    # "auto" extraction threshold (break-even ≈ 192, see Band)
+MAX_HUBS = 4096     # per direction, per kind — caps A_hub at ~700MB int8/arxiv
+
+
+def _top_degree(ids: np.ndarray, n: int, thr: int, cap: int) -> np.ndarray:
+    """Nodes appearing ≥ thr times in ids, highest-degree first, ≤ cap."""
+    deg = np.bincount(ids, minlength=n)
+    cand = np.flatnonzero(deg >= thr)
+    if cand.size > cap:
+        cand = cand[np.argsort(deg[cand])[::-1][:cap]]
+    return cand.astype(np.int64)
+
+
+def _pad128(ids: np.ndarray) -> np.ndarray:
+    """0-pad to a 128 multiple (padded entries get all-zero A slices)."""
+    pad = (-len(ids)) % 128
+    return np.concatenate([ids, np.zeros(pad, ids.dtype)]) if pad else ids
+
+
 def _build_one(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
-               window) -> Band:
+               window, hub_degree=None) -> Band:
+    n_edges_total = len(senders)
+    if hub_degree == "auto":
+        hub_degree = HUB_DEGREE
+
+    # hub ROWS first (a hub row owns ALL its incoming edges, including those
+    # from hub senders — the dense row matmul computes the complete row)
+    hub_row_ids = a_row = None
+    n_hub_row = 0
+    extra_row_s = extra_row_r = None
+    if hub_degree and n_edges_total:
+        rows = _top_degree(receivers, n_pad, hub_degree, MAX_HUBS)
+        if rows.size:
+            row_of = np.full(n_pad, -1, np.int64)
+            row_of[rows] = np.arange(rows.size)
+            on_row = row_of[receivers] >= 0
+            a_row32 = np.zeros((len(rows), n_pad), np.int32)
+            np.add.at(a_row32, (row_of[receivers[on_row]], senders[on_row]), 1)
+            over = a_row32 > 127
+            if over.any():  # multi-edge overflow rides the leftover CSR
+                rr, cc = np.nonzero(over)
+                rep = a_row32[rr, cc] - 127
+                extra_row_r = np.repeat(rows[rr], rep)
+                extra_row_s = np.repeat(cc, rep)
+                a_row32[rr, cc] = 127
+            n_hub_row = int(on_row.sum())
+            hub_row_ids = _pad128(rows).astype(np.int32)
+            a_row = np.zeros((len(hub_row_ids), n_pad), np.int8)
+            a_row[:len(rows)] = a_row32.astype(np.int8)
+            senders, receivers = senders[~on_row], receivers[~on_row]
+
+    # hub COLUMNS on the residual (top out-degree senders)
+    hub_ids = a_hub = None
+    n_hub = 0
+    if hub_degree and len(senders):
+        cols = _top_degree(senders, n_pad, hub_degree, MAX_HUBS)
+        if cols.size:
+            col_of = np.full(n_pad, -1, np.int64)
+            col_of[cols] = np.arange(cols.size)
+            on_col = col_of[senders] >= 0
+            ah32 = np.zeros((n_pad, len(cols)), np.int32)
+            np.add.at(ah32, (receivers[on_col], col_of[senders[on_col]]), 1)
+            over = ah32 > 127
+            if over.any():
+                rr, cc = np.nonzero(over)
+                rep = ah32[rr, cc] - 127
+                extra_row_r = _cat(extra_row_r, np.repeat(rr, rep))
+                extra_row_s = _cat(extra_row_s, np.repeat(cols[cc], rep))
+                ah32[rr, cc] = 127
+            n_hub = int(on_col.sum())
+            hub_ids = _pad128(cols).astype(np.int32)
+            a_hub = np.zeros((n_pad, len(hub_ids)), np.int8)
+            a_hub[:, :len(cols)] = ah32.astype(np.int8)
+            senders, receivers = senders[~on_col], receivers[~on_col]
+
+    band = _build_window(senders, receivers, n_pad, window,
+                         extra_s=extra_row_s, extra_r=extra_row_r,
+                         n_edges_total=n_edges_total)
+    return Band(w_lo=band.w_lo, a=band.a, lo_src=band.lo_src,
+                lo_dst=band.lo_dst, lo_row_ptr=band.lo_row_ptr,
+                hub_ids=hub_ids, a_hub=a_hub, hub_row_ids=hub_row_ids,
+                a_row=a_row, window=band.window, n_edges=n_edges_total,
+                n_lo=band.n_lo, n_hub=n_hub, n_hub_row=n_hub_row)
+
+
+def _cat(a, b):
+    return b if a is None else np.concatenate([a, b])
+
+
+def _build_window(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
+                  window, extra_s=None, extra_r=None,
+                  n_edges_total: Optional[int] = None) -> Band:
     nb = n_pad // BN
-    n_edges = len(senders)
+    n_edges = len(senders) if n_edges_total is None else n_edges_total
     rb = receivers // BN
     order = np.lexsort((senders, rb))
     s, r, rbo = senders[order], receivers[order], rb[order]
@@ -122,7 +234,7 @@ def _build_one(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
         window = _pick_window(s, blk_start, nb, n_pad)
 
     w_lo = np.zeros(nb, np.int32)
-    in_band = np.zeros(n_edges, bool)
+    in_band = np.zeros(len(s), bool)
     for b in range(nb):
         a, z = blk_start[b], blk_start[b + 1]
         if a == z:
@@ -142,20 +254,20 @@ def _build_one(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
     sb, rb_b = s[in_band], r[in_band]
     np.add.at(a_band, (rb_b, sb - w_lo[rb_b // BN]), 1)
     over = a_band > 127
-    extra_s = extra_r = None
     if over.any():
         rows, cols = np.nonzero(over)
         rep = a_band[rows, cols] - 127
-        extra_r = np.repeat(rows, rep).astype(np.int64)
-        extra_s = np.repeat(cols + w_lo[rows // BN], rep).astype(np.int64)
+        extra_r = _cat(extra_r, np.repeat(rows, rep).astype(np.int64))
+        extra_s = _cat(extra_s,
+                       np.repeat(cols + w_lo[rows // BN], rep).astype(np.int64))
         a_band[rows, cols] = 127
     a_band = a_band.astype(np.int8)
 
     lo_s = s[~in_band]
     lo_r = r[~in_band]
     if extra_s is not None:
-        lo_s = np.concatenate([lo_s, extra_s])
-        lo_r = np.concatenate([lo_r, extra_r])
+        lo_s = np.concatenate([lo_s, np.asarray(extra_s, np.int64)])
+        lo_r = np.concatenate([lo_r, np.asarray(extra_r, np.int64)])
     n_lo = len(lo_s)
     # leftover CSR (receiver-sorted, sentinel-padded to a CHUNK multiple)
     lo_order = np.argsort(lo_r, kind="stable")
@@ -176,20 +288,22 @@ def _build_one(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
 
 
 def build_band_pair(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
-                    window="auto") -> BandPair:
+                    window="auto", hubs="auto") -> BandPair:
     """Host-side band structures for A (forward) and Aᵀ (backward).
 
     senders/receivers are VALID edges only (strip padding sentinels first);
     n_pad must be a BN multiple; window a 128-multiple ≤ n_pad, or "auto"
-    (per-direction coverage/DMA-cost scan over AUTO_WINDOWS)."""
+    (per-direction coverage/DMA-cost scan over AUTO_WINDOWS).  ``hubs``:
+    "auto" extracts nodes with degree ≥ 256 into dense hub matmuls (no-op on
+    uniform-degree graphs), an int overrides the threshold, None disables."""
     assert n_pad % BN == 0, n_pad
     if window != "auto":
         window = min(window, n_pad)
         assert window % 128 == 0 and window > 0, window
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
-    fwd = _build_one(senders, receivers, n_pad, window)
-    bwd = _build_one(receivers, senders, n_pad, window)
+    fwd = _build_one(senders, receivers, n_pad, window, hubs)
+    bwd = _build_one(receivers, senders, n_pad, window, hubs)
     return BandPair(fwd=fwd, bwd=bwd)
 
 
@@ -290,11 +404,34 @@ def _band_call(x: Array, band: Band, interpret) -> Array:
     )(band.w_lo, band.a, x)
 
 
+def _hub_dot(a_int8: Array, x: Array) -> Array:
+    """Dense int8-count × features matmul (the hub corrections).  XLA fuses
+    the int8→float convert into the dot read; precision mirrors _band_kernel
+    (bf16 DEFAULT / f32 HIGHEST for torch-f32 parity)."""
+    prec = (jax.lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    acc = jax.lax.dot_general(a_int8.astype(x.dtype), x,
+                              (((1,), (0,)), ((), ())), precision=prec,
+                              preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
+
+
 def _band_all(x: Array, band: Band, interpret: bool) -> Array:
-    """Full A @ x: dense band kernel + leftover take+CSR (non-differentiable
-    building block — callers own the VJP via the transpose band)."""
+    """Full A @ x: dense band kernel + hub matmuls + leftover take+CSR
+    (non-differentiable building block — callers own the VJP via the
+    transpose band)."""
     n_pad = x.shape[0]
     out = _band_call(x, band, interpret)
+    if band.hub_ids is not None:
+        # [N_pad, H] @ [H, C]: top-degree senders, gathered once (H rows)
+        x_hub = jnp.take(x, band.hub_ids, axis=0)
+        out = out + _hub_dot(band.a_hub, x_hub)
+    if band.hub_row_ids is not None:
+        # [R, N_pad] @ [N_pad, C]: hub receivers' complete rows (their band/
+        # leftover slots hold only int8-overflow spill, which adds correctly;
+        # padded rows are all-zero so the id-0 scatter slots add zeros)
+        rows = _hub_dot(band.a_row, x)
+        out = out.at[band.hub_row_ids].add(rows)
     if band.n_lo:
         # no validity mask needed: sentinel lo_dst rows match no one-hot row in
         # the CSR kernel (clip-gathered garbage is finite and never lands)
@@ -463,17 +600,17 @@ def _band_platform_ok() -> bool:
         return False
 
 
-def band_ok(g, c: int, aggr: str, min_coverage: float = 0.5) -> bool:
+def band_ok(g, aggr: str, min_coverage: float = 0.5) -> bool:
     """Route GENConv's aggregation to the band path when profitable: a
     band-servable aggregator and a band attached with enough coverage (the
     leftover rides take+CSR either way — below ~50% coverage the A-matrix DMA
     exceeds what the skipped gather rows would have cost at the measured
     420M rows/s)."""
     return (aggr in BAND_SOFTMAX_AGGRS + BAND_SUM_AGGRS
-            and band_sum_ok(g, c, min_coverage))
+            and band_sum_ok(g, min_coverage))
 
 
-def band_sum_ok(g, c: int, min_coverage: float = 0.5) -> bool:
+def band_sum_ok(g, min_coverage: float = 0.5) -> bool:
     """Gate for the plain-sum band route used by the non-GEN convs (GIN,
     SemiGCN, SAGE): band attached with enough coverage, TPU backend."""
     band = getattr(g, "band", None)

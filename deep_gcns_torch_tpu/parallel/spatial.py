@@ -715,23 +715,16 @@ def spatial_forward(model: SpatialDeeperGCN, mesh: Mesh, axis: str = "gp",
     [D,S,T]; with_node_feats adds an nf [D,S,Cf] operand after x (the proteins
     one-hot input stage)."""
 
-    if with_node_feats:
-        def _fwd_nf(params, state, x, nf, sh):
-            out, _ = model.apply_sharded(params, state, x[0], sh, train=False,
-                                         node_feats_local=nf[0])
-            return out[None]
-
-        fn = shard_map(_fwd_nf, mesh=mesh,
-                       in_specs=(P(), P(), P(axis), P(axis), P(axis)),
-                       out_specs=P(axis))
-        return jax.jit(fn)
-
-    def _fwd(params, state, x, sh):
-        out, _ = model.apply_sharded(params, state, x[0], sh, train=False)
+    def _fwd(params, state, x, *rest):
+        nf = rest[0][0] if with_node_feats else None
+        sh = rest[-1]
+        out, _ = model.apply_sharded(params, state, x[0], sh, train=False,
+                                     node_feats_local=nf)
         return out[None]
 
+    nf_specs = (P(axis),) if with_node_feats else ()
     fn = shard_map(_fwd, mesh=mesh,
-                   in_specs=(P(), P(), P(axis), P(axis)),
+                   in_specs=(P(), P(), P(axis)) + nf_specs + (P(axis),),
                    out_specs=P(axis))
     return jax.jit(fn)
 
@@ -741,38 +734,16 @@ def spatial_train_step(model: SpatialDeeperGCN, tx, loss_fn, mesh: Mesh,
     """Jitted sharded train step: per-shard loss (masked), psum'd grads, optax.
     with_node_feats adds an nf [D,S,Cf] operand after x."""
 
-    if with_node_feats:
-        def _step_nf(params, state, opt_state, x, nf, sh, labels, lmask, rng):
-            import optax
-
-            x, nf, labels, lmask = x[0], nf[0], labels[0], lmask[0]
-
-            def lossf(p):
-                logits, s2 = model.apply_sharded(p, state, x, sh, train=True,
-                                                 rng=rng, node_feats_local=nf)
-                ls, cnt = loss_fn(logits, labels, lmask)
-                ls = jax.lax.psum(ls, axis)
-                cnt = jax.lax.psum(cnt, axis)
-                return ls / jnp.maximum(cnt, 1.0), s2
-
-            (loss, s2), grads = jax.value_and_grad(lossf, has_aux=True)(params)
-            updates, opt2 = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, s2, opt2, loss
-
-        fn = shard_map(_step_nf, mesh=mesh,
-                       in_specs=(P(), P(), P(), P(axis), P(axis), P(axis),
-                                 P(axis), P(axis), P()),
-                       out_specs=(P(), P(), P(), P()))
-        return jax.jit(fn, donate_argnums=(0, 2))
-
-    def _step(params, state, opt_state, x, sh, labels, lmask, rng):
+    def _step(params, state, opt_state, x, *rest):
         import optax
 
+        nf = rest[0][0] if with_node_feats else None
+        sh, labels, lmask, rng = rest[-4:]
         x, labels, lmask = x[0], labels[0], lmask[0]
 
         def lossf(p):
-            logits, s2 = model.apply_sharded(p, state, x, sh, train=True, rng=rng)
+            logits, s2 = model.apply_sharded(p, state, x, sh, train=True,
+                                             rng=rng, node_feats_local=nf)
             # loss_fn must return (sum, count) so the cross-shard mean is exact
             ls, cnt = loss_fn(logits, labels, lmask)
             ls = jax.lax.psum(ls, axis)
@@ -788,7 +759,9 @@ def spatial_train_step(model: SpatialDeeperGCN, tx, loss_fn, mesh: Mesh,
         params = optax.apply_updates(params, updates)
         return params, s2, opt2, loss
 
+    nf_specs = (P(axis),) if with_node_feats else ()
     fn = shard_map(_step, mesh=mesh,
-                   in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P()),
+                   in_specs=(P(), P(), P(), P(axis)) + nf_specs
+                            + (P(axis), P(axis), P(axis), P()),
                    out_specs=(P(), P(), P(), P()))
     return jax.jit(fn, donate_argnums=(0, 2))

@@ -148,8 +148,12 @@ def sgd_step(lr: float, step_size: int, gamma: float = 0.5, momentum: float = 0.
 
 
 def rmsprop(lr: float, weight_decay: float = 0.0):
-    """RevGAT uses RMSprop (`examples/ogb_eff/ogbn_arxiv_dgl/main.py:231`)."""
-    tx = optax.rmsprop(lr)
+    """torch-exact RMSprop (RevGAT, `examples/ogb_eff/ogbn_arxiv_dgl/main.py:231`):
+    torch defaults alpha=0.99 and denom = sqrt(avg) + eps (eps OUTSIDE the
+    sqrt), vs optax defaults decay=0.9 / eps inside; weight decay is coupled
+    (added to the grad before the square-average), which the chain order
+    reproduces."""
+    tx = optax.rmsprop(lr, decay=0.99, eps_in_sqrt=False)
     if weight_decay:
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
     return tx

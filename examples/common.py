@@ -106,8 +106,11 @@ def add_spatial_flags(p: argparse.ArgumentParser):
 
 def apply_spatial_env(args):
     """CPU-mesh support: force N virtual host devices BEFORE the first jax
-    import (XLA reads the flag at backend init)."""
-    if getattr(args, "spatial", 1) > 1 and getattr(args, "platform", "") == "cpu":
+    import (XLA reads the flag at backend init).  Applied for ANY --spatial N
+    run — the flag only multiplies the CPU backend's devices, so it is a no-op
+    when an accelerator platform wins, and it saves a CPU-only host from
+    hitting the mesh device-count assert when --platform cpu was omitted."""
+    if getattr(args, "spatial", 1) > 1:
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (

@@ -128,6 +128,15 @@ def main():
     bpr = args.hidden * 4  # bytes/row f32
     results, rows = {}, []
     sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_max]
+    # warm the allocator arena with one throwaway full-scale build: the FIRST
+    # build in a process pays first-touch page faults for the whole O(E)
+    # working set (measured 9.5s -> 3.1s at 10M edges) — round 3's "D=2
+    # regression" (183s vs 61s at D=8) was exactly this, D=2 ran first.
+    if len(sizes) > 1:
+        t0 = time.time()
+        shard_graph(senders, receivers, n, sizes[-1])
+        print(f"[warmup] build at D={sizes[-1]}: {time.time()-t0:.2f}s",
+              flush=True)
     for d in sizes:
         model = SpatialDeeperGCN(cfg, axis="gp", exchange=args.exchange)
         t0 = time.time()

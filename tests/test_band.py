@@ -129,16 +129,16 @@ def test_attach_band_and_gate(rng_np):
     assert g.band is not None
     assert g.band.fwd.coverage > 0.9
     # gate: platform gate means False on CPU tests without the test hook
-    assert band_ok(g, 32, "mean") is False
+    assert band_ok(g, "mean") is False
     # under the test hook: sum-family and softmax aggregators route, max never
     # does (a weighted-sum kernel can't express it)
     import deep_gcns_torch_tpu.ops.band as band_mod
     try:
         band_mod._TEST_MODE = True
-        assert band_ok(g, 32, "mean") is True
-        assert band_ok(g, 32, "softmax_sg") is True
-        assert band_ok(g, 32, "power_sum") is True
-        assert band_ok(g, 32, "max") is False
+        assert band_ok(g, "mean") is True
+        assert band_ok(g, "softmax_sg") is True
+        assert band_ok(g, "power_sum") is True
+        assert band_ok(g, "max") is False
     finally:
         band_mod._TEST_MODE = False
     er = build_graph(x, rng_np.integers(0, n, 1500), rng_np.integers(0, n, 1500),
@@ -161,3 +161,89 @@ def test_band_window_clamp_small_graph(rng_np):
     want = ref_spmm(x, s, r, n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4,
                                atol=1e-4)
+
+
+def powerlaw_graph(rng, n, deg, alpha=0.9, bandwidth=200):
+    """Hub-heavy: a few senders carry most edges, rest is near-banded."""
+    w = (1.0 / (1.0 + np.arange(n, dtype=np.float64))) ** alpha
+    rng.shuffle(w)
+    s = rng.choice(n, n * deg, p=w / w.sum())
+    r = np.clip(s + rng.integers(-bandwidth, bandwidth + 1, n * deg), 0, n - 1)
+    # sprinkle uniform cross edges so hub rows ALSO engage in the transpose
+    cross = rng.random(n * deg) < 0.3
+    r[cross] = rng.integers(0, n, int(cross.sum()))
+    return s, r
+
+
+def test_hub_extraction_engages_and_matches(rng_np):
+    """Power-law senders cross the hub threshold: coverage recovers via the
+    dense hub matmuls and the result still equals segment_sum exactly."""
+    n = 8 * BN
+    s, r = powerlaw_graph(rng_np, n, 8)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    plain = build_band_pair(s, r, n, 256, hubs=None)
+    hubby = build_band_pair(s, r, n, 256, hubs=64)  # low threshold: force hubs
+    assert hubby.fwd.hub_ids is not None and hubby.fwd.n_hub > 0
+    assert hubby.bwd.hub_row_ids is not None and hubby.bwd.n_hub_row > 0
+    assert hubby.fwd.coverage > plain.fwd.coverage
+    want = np.asarray(ref_spmm(x, s, r, n))
+    for bp in (plain, hubby):
+        got = np.asarray(band_spmm(x, bp, True))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_hub_band_grad_is_transpose(rng_np):
+    n = 8 * BN
+    s, r = powerlaw_graph(rng_np, n, 6)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, 256, hubs=64)
+    co = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    g1 = jax.grad(lambda x_: jnp.sum(band_spmm(x_, bp, True) * co))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(ref_spmm(x_, s, r, n) * co))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-4,
+                               atol=1e-4)
+
+
+def test_hub_softmax_agg_matches(rng_np):
+    """The fused softmax family rides _band_all, so hubs serve it too."""
+    n = 8 * BN
+    eps = 1e-7
+    s, r = powerlaw_graph(rng_np, n, 6)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    t = jnp.asarray([0.5], jnp.float32)
+    bp = build_band_pair(s, r, n, 256, hubs=64)
+    assert bp.fwd.n_hub > 0
+    got = band_softmax_agg(x, bp, t, eps, False, True)
+    msg = jax.nn.relu(jnp.take(x, jnp.asarray(s), axis=0)) + eps
+    want = generalized_aggregate(msg, jnp.asarray(r), n, aggr="softmax_sg",
+                                 t=jax.lax.stop_gradient(t), learn_t=False,
+                                 indices_are_sorted=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4,
+                               atol=1e-4)
+
+
+def test_hub_multiplicity_overflow_spills_to_leftover(rng_np):
+    """>127 duplicate edges into a hub row/col clamp at 127 and spill the
+    remainder into the leftover CSR — totals stay exact."""
+    n = 2 * BN
+    # 300 copies of one edge into a hub receiver + bulk to make sender a hub
+    s = np.concatenate([np.full(300, 3), rng_np.integers(0, n, 800),
+                        np.full(400, 7)])
+    r = np.concatenate([np.full(300, 5), np.full(800, 5),
+                        rng_np.integers(0, n, 400)])
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    bp = build_band_pair(s, r, n, 128, hubs=64)
+    assert bp.fwd.n_lo > 0  # the spill
+    got = np.asarray(band_spmm(x, bp, True))
+    want = np.asarray(ref_spmm(x, s, r, n))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=2e-3)
+
+
+def test_uniform_graph_builds_no_hubs(rng_np):
+    """"auto" hubs are a no-op on uniform-degree graphs (ER/kNN/banded)."""
+    n = 4 * BN
+    s, r = banded_graph(rng_np, n, 6, 100)
+    bp = build_band_pair(s, r, n, 512, hubs="auto")
+    for b in (bp.fwd, bp.bwd):
+        assert b.hub_ids is None and b.hub_row_ids is None
+        assert b.n_hub == 0 and b.n_hub_row == 0

@@ -176,3 +176,32 @@ def test_approx_knn_degenerate_has_no_duplicate_edges():
         for n in range(idx.shape[1]):
             row = idx[b, n]
             assert len(set(row.tolist())) == len(row), f"dup neighbors: {row}"
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_rmsprop_matches_torch(rng_np, wd):
+    """torch-exact RMSprop (RevGAT's optimizer,
+    `examples/ogb_eff/ogbn_arxiv_dgl/main.py:231`): alpha=0.99, eps OUTSIDE
+    the sqrt, coupled weight decay."""
+    import torch
+
+    from deep_gcns_torch_tpu.utils.optim import rmsprop
+
+    lr = 3e-3
+    p0 = rng_np.normal(size=(7, 5)).astype(np.float32)
+    grads = [rng_np.normal(size=(7, 5)).astype(np.float32) for _ in range(8)]
+
+    tx = rmsprop(lr, weight_decay=wd)
+    p = jnp.asarray(p0)
+    st = tx.init(p)
+    for g in grads:
+        upd, st = tx.update(jnp.asarray(g), st, p)
+        p = optax.apply_updates(p, upd)
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.RMSprop([tp], lr=lr, weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        opt.step()
+    np.testing.assert_allclose(np.asarray(p), tp.detach().numpy(), rtol=2e-5,
+                               atol=2e-6)
