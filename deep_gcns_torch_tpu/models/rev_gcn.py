@@ -23,7 +23,7 @@ from ..graph import Graph
 from ..nn.core import Linear, Module, dropout, make_norm, shared_dropout_mask
 from ..rev.coupling import GroupAdditiveCoupling
 from ..rev.invertible import make_reversible_scan
-from ..rev.rev_layer import GCNBlock, GENBlock, SAGEBlock
+from ..rev.rev_layer import GATBlock, GCNBlock, GENBlock, SAGEBlock
 
 Array = jax.Array
 
@@ -52,11 +52,13 @@ class RevGCNConfig:
     dropout: float = 0.0
     use_one_hot_encoding: bool = True
     compute_dtype: str = "float32"
-    # group-function flavor (`eff_gcn_modules/rev/rev_layer.py:54-94`):
+    # group-function flavor (`eff_gcn_modules/rev/rev_layer.py:54-109`):
     # "gen" (GENBlock, the RevGNN-proteins flagship), "gcn" (SemiGCN),
-    # "sage" (GraphSAGE).  The reference's GATBlock variant is the separate
-    # RevGAT model (models/rev_gat.py).
+    # "sage" (GraphSAGE), "gat" (GATBlock, heads averaged — the full
+    # DGL-flavored RevGAT with label reuse/KD is the separate
+    # models/rev_gat.py).
     conv: str = "gen"
+    heads: int = 1  # conv="gat" only (`rev_layer.py:97`)
 
 
 class RevGCN(Module):
@@ -76,9 +78,11 @@ class RevGCN(Module):
             self._fm = GCNBlock(cg, cg, norm=c.norm)
         elif c.conv == "sage":
             self._fm = SAGEBlock(cg, cg, norm=c.norm)
+        elif c.conv == "gat":
+            self._fm = GATBlock(cg, cg, heads=c.heads, norm=c.norm)
         else:
             raise NotImplementedError(
-                f"RevGCN conv {c.conv!r} (gen/gcn/sage; GAT → models.rev_gat)")
+                f"RevGCN conv {c.conv!r} (gen/gcn/sage/gat)")
         self._coupling = GroupAdditiveCoupling(self._fm, group=c.group)
         enc_in = c.node_feat_dim + (c.in_channels if c.use_one_hot_encoding else 0)
         self._one_hot = Linear(c.in_channels, c.in_channels) if c.use_one_hot_encoding else None

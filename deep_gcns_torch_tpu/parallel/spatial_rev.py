@@ -220,6 +220,82 @@ class SpatialSAGEBlock(Module):
         return out, state
 
 
+@dataclass(frozen=True)
+class SpatialGATBlock(Module):
+    """Spatial twin of rev.rev_layer.GATBlock (same param pytree).
+
+    GAT's per-edge score decomposes per node (score_ij = leaky_relu(s_i + s_j)
+    — the SDDMM split in convs/sparse.GATConv), so ONE exchanged payload
+    [xt | s_src] serves both the attention logits and the messages; the
+    segment softmax over neighbors ∪ {self} (PyG-1.x semantics, self edges
+    excluded and re-added analytically) is receiver-local because edges are
+    partitioned by receiver.  Matches `eff_gcn_modules/rev/rev_layer.py:96-109`."""
+    blk: Module          # the single-chip GATBlock
+    axis: str = "gp"
+    exchange: str = "auto"
+
+    def init(self, key):
+        return self.blk.init(key)
+
+    def apply(self, params, state, x, sh: SpatialShards, *,
+              chunk_args: Tuple = (), train: bool = False, **kw):
+        my = jax.tree_util.tree_map(lambda a: a[0], sh)
+        S = my.node_mask.shape[0]
+        mask_c = chunk_args[0] if len(chunk_args) > 0 else None
+        hpre = _pre_block(params, self.blk, x, my, train, mask_c)
+
+        conv = self.blk._conv()
+        gp = params["gcn"]
+        h, d = conv.heads, conv.out_dim
+        xt = (hpre @ gp["w"]).reshape(S, h, d)
+        a_l, a_r = gp["att"][:, :d], gp["att"][:, d:]
+        s_dst = jnp.einsum("nhd,hd->nh", xt, a_l)   # center term, local
+        s_src = jnp.einsum("nhd,hd->nh", xt, a_r)   # neighbor term, exchanged
+
+        payload = jnp.concatenate([xt.reshape(S, h * d), s_src], axis=1)
+        tab, senders = exchange_sources(payload, sh, self.axis, self.exchange)
+        senders = jnp.minimum(senders, tab.shape[0] - 1)
+        xt_src = tab[:, : h * d]
+        ss_src = tab[:, h * d:]
+
+        d_index = jax.lax.axis_index(self.axis)
+        emask = my.edge_mask & (my.senders != my.receivers + d_index * S)
+        e_score = jax.nn.leaky_relu(
+            jnp.take(s_dst, my.receivers, axis=0, mode="clip")
+            + jnp.take(ss_src, senders, axis=0), conv.neg_slope)
+        self_score = jax.nn.leaky_relu(s_dst + s_src, conv.neg_slope)
+
+        seg_max = jax.ops.segment_max(
+            jnp.where(emask[:, None], e_score, -jnp.inf), my.receivers, S,
+            indices_are_sorted=True)
+        mx = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf),
+                         self_score)
+        mx = jax.lax.stop_gradient(jnp.where(jnp.isfinite(mx), mx, 0.0))
+        e_exp = jnp.where(
+            emask[:, None],
+            jnp.exp(e_score - jnp.take(mx, my.receivers, axis=0, mode="clip")),
+            0)
+        self_exp = jnp.exp(self_score - mx)
+        denom = jax.ops.segment_sum(e_exp, my.receivers, S,
+                                    indices_are_sorted=True) + self_exp
+        alpha = e_exp / jnp.maximum(
+            jnp.take(denom, my.receivers, axis=0, mode="clip"), 1e-16)
+        alpha_self = self_exp / jnp.maximum(denom, 1e-16)
+
+        msg = (jnp.take(xt_src, senders, axis=0).reshape(-1, h, d)
+               * alpha[..., None])
+        out = jax.ops.segment_sum(
+            jnp.where(emask[:, None, None], msg, 0), my.receivers, S,
+            indices_are_sorted=True)
+        out = out + xt * alpha_self[..., None]
+        out = out.reshape(S, h * d)
+        if conv.bias:
+            out = out + gp["b"]
+        # GATBlock epilogue: concat=False → mean over heads
+        out = out.reshape(S, h, d).mean(axis=1)
+        return out, state
+
+
 class SpatialRevGCN:
     """Parallel twin of models.rev_gcn.RevGCN (same params — init either)."""
 
@@ -237,9 +313,11 @@ class SpatialRevGCN:
             self._sp_fm = SpatialGCNBlock(self.inner._fm, axis, exchange)
         elif cfg.conv == "sage":
             self._sp_fm = SpatialSAGEBlock(self.inner._fm, axis, exchange)
+        elif cfg.conv == "gat":
+            self._sp_fm = SpatialGATBlock(self.inner._fm, axis, exchange)
         else:
             raise NotImplementedError(
-                f"spatial rev conv {cfg.conv!r} (gen/gcn/sage)")
+                f"spatial rev conv {cfg.conv!r} (gen/gcn/sage/gat)")
         self._coupling = GroupAdditiveCoupling(self._sp_fm, group=cfg.group)
 
     def init(self, key):

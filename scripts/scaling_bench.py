@@ -23,15 +23,28 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def community_graph(rng, n, avg_degree, locality, blocks=16):
+def community_graph(rng, n, avg_degree, locality, blocks=16, cross_skew=0.0):
     """Edges intra-community w.p. `locality` (contiguous communities — the layout
-    a locality-aware partitioner produces), uniform-random otherwise."""
+    a locality-aware partitioner produces), uniform-random otherwise.
+
+    cross_skew > 0 draws the CROSS-community edges' senders from a shuffled
+    power law (exponent = cross_skew) instead of uniformly — the realistic
+    shape for protein/citation graphs, where hub nodes carry the long-range
+    edges.  Uniform cross senders (skew 0) make every node a boundary sender
+    to every device pair, which is why the round-3 proteins rehearsal showed
+    halo ≈ all-gather volume (SCALING_r03): that was the rehearsal's
+    artifact, not a property of the exchange."""
     import numpy as np
 
     e = n * avg_degree
     bs = n // blocks
     src = rng.integers(0, n, e)
     intra = rng.random(e) < locality
+    if cross_skew > 0:
+        w = (1.0 / (1.0 + np.arange(n, dtype=np.float64))) ** cross_skew
+        rng.shuffle(w)
+        n_cross = int((~intra).sum())
+        src[~intra] = rng.choice(n, n_cross, p=w / w.sum())
     dst = rng.integers(0, n, e)
     b = src // bs
     off = rng.integers(0, bs, e)
@@ -50,6 +63,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--locality", type=float, default=0.95,
                     help="fraction of intra-community edges (0 = ER-random)")
+    ap.add_argument("--cross_skew", type=float, default=0.0,
+                    help="power-law exponent for CROSS-community edge senders "
+                         "(0 = uniform; ~1.0 models hub-carried long-range "
+                         "edges, the realistic protein/citation shape)")
     ap.add_argument("--exchange", type=str, default="auto")
     ap.add_argument("--scramble", action="store_true",
                     help="randomly permute node ids first (destroys the "
@@ -93,7 +110,9 @@ def main():
     rng = np.random.default_rng(0)
     n, e = args.nodes, args.nodes * args.avg_degree
     if args.locality > 0:
-        senders, receivers = community_graph(rng, n, args.avg_degree, args.locality)
+        senders, receivers = community_graph(rng, n, args.avg_degree,
+                                             args.locality,
+                                             cross_skew=args.cross_skew)
     else:
         senders = rng.integers(0, n, e)
         receivers = rng.integers(0, n, e)

@@ -113,14 +113,15 @@ import dataclasses
 import pytest
 
 
-@pytest.mark.parametrize("conv", ["gcn", "sage"])
+@pytest.mark.parametrize("conv", ["gcn", "sage", "gat"])
 def test_spatial_rev_zoo_matches_single_chip(rng_np, conv):
-    """Round-3 generalization (VERDICT r2 weak #6): the reference's wider rev
-    zoo (`eff_gcn_modules/rev/rev_layer.py:80-94`) composes with spatial
-    partitioning — forward AND one SGD step match the single-chip RevGCN."""
+    """Rev-zoo spatial twins (`eff_gcn_modules/rev/rev_layer.py:80-109`)
+    compose with spatial partitioning — forward AND one SGD step match the
+    single-chip RevGCN (gat: 2 heads, averaged, PyG-1.x self-loop softmax)."""
     n = 512
     x, nf, s, r, _, cfg = setup(rng_np, n=n, e=3000, num_layers=2)
-    cfg = dataclasses.replace(cfg, conv=conv)
+    cfg = dataclasses.replace(cfg, conv=conv,
+                              heads=2 if conv == "gat" else 1)
     model = SpatialRevGCN(cfg, exchange="halo")
     params, _ = jax.jit(model.init)(jax.random.PRNGKey(4))
     labels = rng_np.integers(0, cfg.num_tasks, n)
