@@ -27,6 +27,14 @@ from ..ops.segment import segment_degree, segment_softmax, segment_sum
 from ..ops.spmm_pallas import gat_softmax_spmm
 
 
+def _gat_band_ok(g: "Graph") -> bool:
+    """Band route for the sender-only-score GAT: band attached with enough
+    gather-free coverage (window + hubs), TPU backend (or the test hook)."""
+    from ..ops.band import band_sum_ok
+
+    return band_sum_ok(g)
+
+
 def _gat_fused_ok(g: "Graph", packed_width: int) -> bool:
     """Route to the fused attention+SpMM kernel pair when legal on TPU."""
     if g.row_ptr is None or g.csc_col_ptr is None or g.csc_receivers is None:
@@ -81,9 +89,22 @@ class SymGATConv(Module):
         return params, {}
 
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
-              keep_mask: Optional[Array] = None, **kw):
-        """keep_mask: optional [E] float/bool — edges kept by edge-drop (train)."""
+              keep_mask: Optional[Array] = None,
+              drop_key: Optional[Array] = None, **kw):
+        """keep_mask: optional [E] float/bool — edges kept by edge-drop (train).
+        drop_key: optional [2] int32 hash-key (ops/band.drop_key_bits) — the
+        keep decision becomes hash(recv_id, send_id, key), identical between
+        the band kernel, its transpose (VJP) and the per-edge paths, so
+        edge-drop TRAINING rides the gather-free band too.  When both are
+        given, drop_key wins."""
         n = x.shape[0]
+        drop_spec = None
+        if train and self.edge_drop > 0 and drop_key is not None:
+            from ..ops.band import DropSpec, drop_thresh, edge_keep_mask
+
+            drop_spec = DropSpec(k0=drop_key[0], k1=drop_key[1],
+                                 thresh=drop_thresh(self.edge_drop))
+            keep_mask = edge_keep_mask(drop_spec, g.receivers, g.senders)
         h, d = self.num_heads, self.out_dim
         feat = (x @ params["fc"]).reshape(n, h, d)
 
@@ -103,10 +124,28 @@ class SymGATConv(Module):
         score = jax.nn.leaky_relu(score, self.neg_slope)
 
         att_mask = emask
-        if train and self.edge_drop > 0 and keep_mask is not None:
+        dropping = train and self.edge_drop > 0 and keep_mask is not None
+        if dropping:
             att_mask = att_mask & (keep_mask > 0)
 
-        if (not self.use_attn_dst) and _gat_fused_ok(g, h * d + h):
+        if ((not self.use_attn_dst) and (not dropping or drop_spec is not None)
+                and _gat_band_ok(g)):
+            # gather-free band route: sender-only scores are node-factored, so
+            # num/den are one band SpMM of the packed [e·feat | e] table
+            # (ops/band.band_gat_agg).  Edge-drop rides along via the hash
+            # DropSpec (per-position keeps inside the kernel); an explicit
+            # [E] keep_mask without a key is not band-expressible → fused-CSC.
+            from ..ops.band import band_gat_agg, band_interpret
+
+            cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                  else feat_src.dtype)
+            num, den = band_gat_agg(feat_src, el, g.band, self.neg_slope,
+                                    compute_dtype=cd,
+                                    interpret=band_interpret(),
+                                    drop=drop_spec)
+            out = jnp.where((den > 0)[..., None],
+                            num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+        elif (not self.use_attn_dst) and _gat_fused_ok(g, h * d + h):
             # fully fused attention+SpMM: one gather of the packed [feat|el]
             # table, CSR forward / CSC backward kernels; renormalizing edge-drop
             # folds into sentinel receiver ids.

@@ -27,8 +27,8 @@ from ..ops.segment import (
     segment_softmax, segment_sum,
 )
 from ..ops.band import (
-    BAND_SOFTMAX_AGGRS, band_interpret, band_ok, band_softmax_agg_auto,
-    band_sum_auto, band_sum_ok,
+    BAND_SOFTMAX_AGGRS, band_extreme, band_extreme_ok, band_interpret,
+    band_ok, band_softmax_agg_auto, band_sum_auto, band_sum_ok,
 )
 from ..ops.spmm_pallas import fused_softmax_gather_agg_auto
 from ..ops.gather import gather_dst_auto, gather_src_auto
@@ -165,6 +165,8 @@ class GENConv(Module):
             y = jax.lax.stop_gradient(y)
 
         band = edge_emb is None and band_ok(g, self.aggr)
+        band_ext = (edge_emb is None and self.aggr in ("max", "min")
+                    and band_extreme_ok(g))
         fused = fused_gather_ok(g, x.shape[1], self.aggr) and (
             edge_emb is None
             or (edge_emb_csc is not None and edge_emb.shape == (g.num_edges_padded,
@@ -200,6 +202,13 @@ class GENConv(Module):
                                   band_interpret()).astype(jnp.float32)
                 m = s / jnp.maximum(deg, 1.0)[:, None] if self.aggr == "mean" else s
             m = m.astype(cd)
+        elif band_ext:
+            # max/min: the message relu(x)+ε is a node table, so the extreme
+            # factorizes through the masked window reduce (ops/band.band_extreme)
+            # — gather-free forward, tie-splitting gather backward.
+            msg = (jax.nn.relu(x.astype(jnp.float32)) + self.eps).astype(cd)
+            m = band_extreme(msg, g.band, g.senders, g.receivers, g.edge_mask,
+                             self.aggr)
         elif fused:
             # single-gather fused path: relu+ε message, stabilized exp, and both
             # one-hot dots happen inside one kernel pass; the backward is the CSC
@@ -264,9 +273,20 @@ class MRConv(Module):
               axis_name=None, **kw):
         cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
         xe = x if cd is None else x.astype(cd)  # cast before the E-wide gathers
-        rel = gather_src_auto(xe, g) - gather_dst_auto(xe, g)
-        agg = scatter(self.aggr, rel, g.receivers, x.shape[0], mask=g.edge_mask,
-                      row_ptr=g.row_ptr)
+        if self.aggr in ("max", "min") and band_extreme_ok(g):
+            # factorized: extreme_j (x_j − x_i) = (extreme_j x_j) − x_i per
+            # receiver with ≥1 edge (x_i constant per segment; ties in x_j and
+            # in the relative message coincide, so the tie-splitting VJP is
+            # identical).  Gather-free forward via the masked window reduce.
+            ext = band_extreme(xe, g.band, g.senders, g.receivers, g.edge_mask,
+                               self.aggr)
+            deg = (g.row_ptr[1:] - g.row_ptr[:-1]) if g.row_ptr is not None \
+                else segment_degree(g.receivers, x.shape[0], g.edge_mask)
+            agg = jnp.where((deg > 0)[:, None], ext - xe, 0)
+        else:
+            rel = gather_src_auto(xe, g) - gather_dst_auto(xe, g)
+            agg = scatter(self.aggr, rel, g.receivers, x.shape[0],
+                          mask=g.edge_mask, row_ptr=g.row_ptr)
         h = jnp.concatenate([xe, agg], axis=1)
         out, ns = self._nn().apply(params["nn"], state["nn"], h, train=train, rng=rng,
                                    mask=g.node_mask, axis_name=axis_name,

@@ -96,8 +96,12 @@ def cluster_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
     of RCM for small-world / community graphs: RCM's BFS frontier leaks
     through long-range edges, so it cannot recover community structure — this
     pass directly minimizes the spatial-shard edge cut and the band-window
-    density the TPU kernels consume.  ``cluster_size`` ≈ the spatial shard
-    size (or the band window) works well.
+    density the TPU kernels consume.  ``cluster_size``: for spatial shards,
+    match the shard size; for the BAND, larger clusters beat window-sized
+    ones — the greedy absorption order is itself local, so 8-16× the window
+    measures best (arxiv-scale sweep: cluster 16384 / window 1024 → coverage
+    0.916 vs 0.884 at 4096; window-sized clusters LOSE coverage because the
+    cluster boundary cuts through window-reachable neighborhoods).
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)

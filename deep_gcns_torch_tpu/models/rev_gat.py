@@ -71,15 +71,20 @@ class RevGATBlock(Module):
     def apply(self, params, state, x, g: Graph, *, chunk_args: Tuple = (),
               train: bool = False, **kw):
         dropout_mask = chunk_args[0] if len(chunk_args) > 0 else None
-        keep_mask = chunk_args[1] if len(chunk_args) > 1 else None
-        if keep_mask is not None:
-            keep_mask = keep_mask[:, 0] if keep_mask.ndim > 1 else keep_mask
+        dk = chunk_args[1] if len(chunk_args) > 1 else None
+        keep_mask = drop_key = None
+        if dk is not None:
+            dk = dk[:, 0] if dk.ndim > 1 else dk
+            if jnp.issubdtype(dk.dtype, jnp.integer):
+                drop_key = dk            # [2] int32 hash key (band-servable)
+            else:
+                keep_mask = dk           # legacy [E] float keep mask
         h = _batch_stats_norm(params["norm"], x, g.node_mask)
         h = jax.nn.relu(h)
         if train and dropout_mask is not None:
             h = h * dropout_mask
         out, _ = self._conv().apply(params["conv"], {}, h, g, train=train,
-                                    keep_mask=keep_mask)
+                                    keep_mask=keep_mask, drop_key=drop_key)
         return out.reshape(out.shape[0], -1), state
 
 
@@ -138,25 +143,26 @@ class RevGAT(Module):
     def apply(self, params, state, x, g: Graph, *, train: bool = False,
               rng: Optional[Array] = None, axis_name=None, **kw):
         c = self.cfg
-        E = g.num_edges_padded
 
         def key(i):
             return None if rng is None else jax.random.fold_in(rng, i)
 
         h = dropout(x, c.input_drop, train=train, rng=key(0))
-        keep_first = None
-        keep_mid = None
-        keep_last = None
+        # Edge-drop: per-layer [2] int32 hash keys (ops/band.drop_key_bits) —
+        # the keep decision is hash(recv, send, key), so the band kernel, its
+        # transpose and the per-edge CSC path all reproduce the same mask from
+        # the key alone, and the reversible inverse reuses it for free.
+        dk_first = dk_mid = dk_last = None
         if train and c.edge_drop > 0 and rng is not None:
-            keep_first = (jax.random.uniform(key(1), (E,)) >= c.edge_drop
-                          ).astype(jnp.float32)
-            keep_mid = (jax.random.uniform(key(2), (c.n_layers - 2, E))
-                        >= c.edge_drop).astype(jnp.float32)
-            keep_last = (jax.random.uniform(key(3), (E,)) >= c.edge_drop
-                         ).astype(jnp.float32)
+            from ..ops.band import drop_key_bits
+
+            dk_first = drop_key_bits(key(1))
+            dk_mid = jax.vmap(lambda i: drop_key_bits(
+                jax.random.fold_in(key(2), i)))(jnp.arange(c.n_layers - 2))
+            dk_last = drop_key_bits(key(3))
 
         h, _ = self._first.apply(params["first"], {}, h, g, train=train,
-                                 keep_mask=keep_first)
+                                 drop_key=dk_first)
         h = h.reshape(h.shape[0], -1)  # flatten heads
 
         mask = None
@@ -167,59 +173,58 @@ class RevGAT(Module):
         coupling = self._coupling
 
         def fwd_one(p, h, diff):
-            m, keeps = diff
-            lp, keep = p
-            # keep-mask replicated per group (chunked along a width-G axis)
-            keep_rep = (None if keep is None else
-                        jnp.tile(keep[:, None], (1, coupling.group)))
-            return coupling.forward(lp, h, g, m, keep_rep, train=train)
+            m, _ = diff
+            lp, dk = p
+            # drop key replicated per group (chunked along a width-G axis)
+            dk_rep = (None if dk is None else
+                      jnp.tile(dk[:, None], (1, coupling.group)))
+            return coupling.forward(lp, h, g, m, dk_rep, train=train)
 
         def inv_one(p, y, diff):
-            m, keeps = diff
-            lp, keep = p
-            keep_rep = (None if keep is None else
-                        jnp.tile(keep[:, None], (1, coupling.group)))
-            return coupling.inverse(lp, y, g, m, keep_rep, train=train)
+            m, _ = diff
+            lp, dk = p
+            dk_rep = (None if dk is None else
+                      jnp.tile(dk[:, None], (1, coupling.group)))
+            return coupling.inverse(lp, y, g, m, dk_rep, train=train)
 
         def inv_vjp_one(p, y, diff, gy):
-            m, _keeps = diff
-            lp, keep = p
-            keep_rep = (None if keep is None else
-                        jnp.tile(keep[:, None], (1, coupling.group)))
-            x, gx, glp, (gm, _gkeep) = coupling.inverse_and_vjp(
-                lp, y, g, gy, m, keep_rep, train=train)
-            return x, gx, (glp, jnp.zeros_like(keep)), (gm, None)
+            m, _ = diff
+            lp, dk = p
+            dk_rep = (None if dk is None else
+                      jnp.tile(dk[:, None], (1, coupling.group)))
+            x, gx, glp, (gm, _gdk) = coupling.inverse_and_vjp(
+                lp, y, g, gy, m, dk_rep, train=train)
+            return x, gx, (glp, jnp.zeros_like(dk)), (gm, None)
 
         run = make_reversible_scan(fwd_one, inv_one, inv_vjp_one)
-        scan_params = (params["mid"],
-                       keep_mid if keep_mid is not None
-                       else jnp.zeros((c.n_layers - 2, 0), jnp.float32))
-        # when no edge drop, pass empty keeps and treat as None inside
-        if keep_mid is None:
+        scan_params = (params["mid"], dk_mid)
+        if dk_mid is None:
             def fwd_one(p, h, diff):  # noqa: F811
                 m, _ = diff
-                lp, _keep = p
+                lp, _dk = p
                 return coupling.forward(lp, h, g, m, None, train=train)
 
             def inv_one(p, y, diff):  # noqa: F811
                 m, _ = diff
-                lp, _keep = p
+                lp, _dk = p
                 return coupling.inverse(lp, y, g, m, None, train=train)
 
             def inv_vjp_one(p, y, diff, gy):  # noqa: F811
                 m, _ = diff
-                lp, keep = p
+                lp, dk = p
                 x, gx, glp, (gm,) = coupling.inverse_and_vjp(
                     lp, y, g, gy, m, train=train)
-                return x, gx, (glp, jnp.zeros_like(keep)), (gm, None)
+                return x, gx, (glp, jnp.zeros_like(dk)), (gm, None)
 
             run = make_reversible_scan(fwd_one, inv_one, inv_vjp_one)
+            scan_params = (params["mid"],
+                           jnp.zeros((c.n_layers - 2, 0), jnp.float32))
         h = run(scan_params, h, (mask, None))
 
         h = _batch_stats_norm(params["norm"], h, g.node_mask)
         h = jax.nn.relu(h)
         h = dropout(h, c.dropout, train=train, rng=key(5))
         out, _ = self._last.apply(params["last"], {}, h, g, train=train,
-                                  keep_mask=keep_last)
+                                  drop_key=dk_last)
         out = jnp.mean(out, axis=1)  # mean over heads (`model_rev.py:362`)
         return out + params["bias_last"], state

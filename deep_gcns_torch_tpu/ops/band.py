@@ -107,13 +107,80 @@ def _round_down(x: int, m: int) -> int:
     return (x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# hash-based edge drop (renormalizing attention edge-drop through the band)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DropSpec:
+    """Per-step edge-drop: each edge's keep decision is a counter-based hash
+    of (recv_id, send_id, key) — reproducible from ids alone, so the band
+    kernel, its TRANSPOSE (the VJP), the hub matmuls and the leftover CSR all
+    agree on which edges were dropped without materializing an [E] mask, and
+    a reversible inverse reusing the same key reuses the same mask.
+    Multi-edges (count > 1 at one position) share one draw — a documented
+    deviation, immaterial on simple graphs.  Statistical quality: a 2-round
+    xorshift-multiply mixer; i.i.d.-Bernoulli-like, which already deviates
+    from the reference's exact randperm subset the same way the prior
+    Bernoulli keep-mask did (convs/dgl_gat.py docnote)."""
+
+    k0: Array   # int32 scalar (from a PRNG key)
+    k1: Array   # int32 scalar
+    thresh: int = field(metadata=dict(static=True))   # floor(p_drop · 2³¹)
+
+
+def drop_key_bits(key: Array) -> Array:
+    """[2] int32 hash-key material from a jax PRNG key (bit-exact view)."""
+    ks = jax.random.key_data(key).reshape(-1)[:2]
+    return jax.lax.bitcast_convert_type(ks, jnp.int32)
+
+
+def drop_thresh(drop_p: float) -> int:
+    return min(int(drop_p * 2147483648.0), 2147483647)
+
+
+def make_edge_drop(key: Array, drop_p: float) -> Optional[DropSpec]:
+    """DropSpec from a jax PRNG key and a static drop rate (None if p == 0)."""
+    if drop_p <= 0.0:
+        return None
+    kb = drop_key_bits(key)
+    return DropSpec(k0=kb[0], k1=kb[1], thresh=drop_thresh(drop_p))
+
+
+def _hash_keep(recv, send, k0, k1, thresh: int):
+    """Bool keep mask from int32 id planes (jnp ops only — Mosaic-safe)."""
+    h = recv * jnp.int32(-1640531527) + k0           # 0x9E3779B9
+    h = h ^ (send * jnp.int32(-2048144789) + k1)     # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(668265295)                     # 0x27D4EB2F
+    h = h ^ jax.lax.shift_right_logical(h, 15)
+    return (h & jnp.int32(2147483647)) >= jnp.int32(thresh)
+
+
+def edge_keep_mask(drop: Optional[DropSpec], receivers: Array,
+                   senders: Array) -> Optional[Array]:
+    """[E] float keep mask for per-edge (CSR/segment) paths — the SAME draws
+    the band kernel makes, so band and gather paths agree bit-for-bit on
+    which edges survive."""
+    if drop is None:
+        return None
+    return _hash_keep(receivers.astype(jnp.int32), senders.astype(jnp.int32),
+                      drop.k0, drop.k1, drop.thresh).astype(jnp.float32)
+
+
 AUTO_WINDOWS = (256, 512, 768, 1024, 1536, 2048)
 
 
 def _pick_window(s, blk_start, nb, n_pad) -> int:
     """Smallest candidate window reaching ≥99% coverage; else the candidate
-    maximizing covered_edges − window·NB·BN/256 (each extra window column costs
-    ~n_pad bytes of A DMA ≈ one 256-byte row-gather per 256 columns)."""
+    maximizing covered_edges − window·NB·BN/1536.  The divisor is the
+    measured break-even (scripts/tpu_band_sweep.py, arxiv-scale realistic
+    graph): a marginal window column costs ~0.9 µs of A+window DMA per block
+    row set while a leftover edge costs ~8.7 ns of take+CSR — ≈110 edges per
+    column across the node space, i.e. nb·BN/1536 edge-equivalents.  (The
+    round-3 divisor 256 was ~6× too conservative and picked 512 where 1024
+    measured 12% faster.)"""
     cands = [w for w in AUTO_WINDOWS if w <= n_pad] or [n_pad]
     covered = np.zeros(len(cands), np.int64)
     for b in range(nb):
@@ -128,7 +195,7 @@ def _pick_window(s, blk_start, nb, n_pad) -> int:
     for j, w in enumerate(cands):
         if covered[j] >= 0.99 * n_edges:
             return w
-    score = covered - np.asarray(cands, np.int64) * (nb * BN) // 256
+    score = covered - np.asarray(cands, np.int64) * (nb * BN) // 1536
     return cands[int(np.argmax(score))]
 
 
@@ -311,10 +378,15 @@ def build_band_pair(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
 # kernel
 # ---------------------------------------------------------------------------
 
-def _band_kernel(wlo_ref, a_ref, x_hbm, out_ref, xwin, sem, *, w, gb):
+def _band_kernel(*refs, w, gb, thresh=None, swap=False):
     # gb receiver blocks per grid step: one grid step costs ~1.5 µs of Mosaic
     # overhead (measured, ROOFLINE.md) — at 1324 blocks that alone is 2 ms, so
     # the grid is coarsened and the per-128-row windows stream inside the step.
+    if thresh is None:
+        wlo_ref, a_ref, x_hbm, out_ref, xwin, sem = refs
+        dk_ref = None
+    else:
+        wlo_ref, dk_ref, a_ref, x_hbm, out_ref, xwin, sem = refs
     i = pl.program_id(0)
     nb = pl.num_programs(0)
 
@@ -341,6 +413,17 @@ def _band_kernel(wlo_ref, a_ref, x_hbm, out_ref, xwin, sem, *, w, gb):
     for k in range(gb):
         _copy(i, i % 2, k).wait()
         a = a_ref[k * BN:(k + 1) * BN, :].astype(cd)
+        if thresh is not None:
+            # edge-drop: per-position keep from the (recv, send) id planes —
+            # rows are this block's receivers (senders for the transpose
+            # band), columns the window's node ids
+            rows = ((i * gb + k) * BN
+                    + jax.lax.broadcasted_iota(jnp.int32, (BN, w), 0))
+            cols = wlo_ref[i * gb + k] + jax.lax.broadcasted_iota(
+                jnp.int32, (BN, w), 1)
+            recv, send = (cols, rows) if swap else (rows, cols)
+            keep = _hash_keep(recv, send, dk_ref[0], dk_ref[1], thresh)
+            a = a * keep.astype(cd)
         acc = jax.lax.dot_general(a, xwin[i % 2, k], (((1,), (0,)), ((), ())),
                                   precision=prec,
                                   preferred_element_type=jnp.float32)
@@ -357,7 +440,7 @@ def _pick_gb(nb: int, w: int, c: int, itemsize: int) -> int:
     return 1
 
 
-def _band_call_xla(x: Array, band: Band) -> Array:
+def _band_call_xla(x: Array, band: Band, drop=None, swap=False) -> Array:
     """Pure-XLA emulation of the band kernel (identical math: per-block dense
     window matmul).  Used for CPU-mesh tests inside `shard_map`, where jax's
     Pallas interpreter trips its own vma checks (jax 0.9); the Mosaic kernel
@@ -367,25 +450,41 @@ def _band_call_xla(x: Array, band: Band) -> Array:
     nb = n_pad // BN
     win = jnp.take(x, band.w_lo[:, None] + jnp.arange(w)[None, :], axis=0)
     a = band.a.reshape(nb, BN, w).astype(x.dtype)
+    if drop is not None:
+        rows = (jnp.arange(nb * BN, dtype=jnp.int32).reshape(nb, BN)[:, :, None]
+                + jnp.zeros((1, 1, w), jnp.int32))
+        cols = (band.w_lo[:, None, None]
+                + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+                + jnp.zeros((1, BN, 1), jnp.int32))
+        recv, send = (cols, rows) if swap else (rows, cols)
+        a = a * _hash_keep(recv, send, drop.k0, drop.k1,
+                           drop.thresh).astype(a.dtype)
     out = jnp.einsum("bnw,bwc->bnc", a, win,
                      preferred_element_type=jnp.float32)
     return out.reshape(n_pad, c).astype(x.dtype)
 
 
-def _band_call(x: Array, band: Band, interpret) -> Array:
+def _band_call(x: Array, band: Band, interpret, drop=None,
+               swap: bool = False) -> Array:
     n_pad, c = x.shape
     assert c % 128 == 0, c
     assert band.a.shape[0] == n_pad and n_pad % BN == 0, (n_pad, band.a.shape)
     if interpret == "xla":
-        return _band_call_xla(x, band)
+        return _band_call_xla(x, band, drop, swap)
     w = band.window
     nb = n_pad // BN
     gb = _pick_gb(nb, w, c, jnp.dtype(x.dtype).itemsize)
-    kernel = functools.partial(_band_kernel, w=w, gb=gb)
+    kernel = functools.partial(_band_kernel, w=w, gb=gb,
+                               thresh=None if drop is None else drop.thresh,
+                               swap=swap)
+    n_prefetch = 1 if drop is None else 2
+    args = [band.w_lo]
+    if drop is not None:
+        args.append(jnp.stack([drop.k0, drop.k1]).astype(jnp.int32))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,           # w_lo
+            num_scalar_prefetch=n_prefetch,  # w_lo (+ drop key)
             grid=(nb // gb,),
             in_specs=[
                 pl.BlockSpec((gb * BN, w), lambda i, *_: (i, 0),
@@ -401,7 +500,7 @@ def _band_call(x: Array, band: Band, interpret) -> Array:
         ),
         out_shape=_out_struct((n_pad, c), x.dtype, x),
         interpret=interpret,
-    )(band.w_lo, band.a, x)
+    )(*args, band.a, x)
 
 
 def _hub_dot(a_int8: Array, x: Array) -> Array:
@@ -416,45 +515,72 @@ def _hub_dot(a_int8: Array, x: Array) -> Array:
     return acc.astype(x.dtype)
 
 
-def _band_all(x: Array, band: Band, interpret: bool) -> Array:
+def _band_all(x: Array, band: Band, interpret: bool, drop=None,
+              swap: bool = False) -> Array:
     """Full A @ x: dense band kernel + hub matmuls + leftover take+CSR
     (non-differentiable building block — callers own the VJP via the
-    transpose band)."""
+    transpose band).  ``drop``/``swap``: hash edge-drop (DropSpec), applied
+    consistently across all four structures; swap=True for transpose bands
+    (rows are senders there, so the id planes exchange before hashing)."""
     n_pad = x.shape[0]
-    out = _band_call(x, band, interpret)
+    out = _band_call(x, band, interpret, drop, swap)
     if band.hub_ids is not None:
         # [N_pad, H] @ [H, C]: top-degree senders, gathered once (H rows)
         x_hub = jnp.take(x, band.hub_ids, axis=0)
-        out = out + _hub_dot(band.a_hub, x_hub)
+        a_hub = band.a_hub
+        if drop is not None:
+            rows = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+            cols = band.hub_ids[None, :].astype(jnp.int32)
+            recv, send = (cols, rows) if swap else (rows, cols)
+            a_hub = a_hub * _hash_keep(recv, send, drop.k0, drop.k1,
+                                       drop.thresh).astype(jnp.int8)
+        out = out + _hub_dot(a_hub, x_hub)
     if band.hub_row_ids is not None:
         # [R, N_pad] @ [N_pad, C]: hub receivers' complete rows (their band/
         # leftover slots hold only int8-overflow spill, which adds correctly;
         # padded rows are all-zero so the id-0 scatter slots add zeros)
-        rows = _hub_dot(band.a_row, x)
-        out = out.at[band.hub_row_ids].add(rows)
+        a_row = band.a_row
+        if drop is not None:
+            rows = band.hub_row_ids[:, None].astype(jnp.int32)
+            cols = jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+            recv, send = (cols, rows) if swap else (rows, cols)
+            a_row = a_row * _hash_keep(recv, send, drop.k0, drop.k1,
+                                       drop.thresh).astype(jnp.int8)
+        rows_out = _hub_dot(a_row, x)
+        out = out.at[band.hub_row_ids].add(rows_out)
     if band.n_lo:
         # no validity mask needed: sentinel lo_dst rows match no one-hot row in
         # the CSR kernel (clip-gathered garbage is finite and never lands)
         xg = jnp.take(x, jnp.minimum(band.lo_src, n_pad - 1), axis=0)
+        if drop is not None:
+            recv, send = ((band.lo_src, band.lo_dst) if swap
+                          else (band.lo_dst, band.lo_src))
+            keep = _hash_keep(recv.astype(jnp.int32), send.astype(jnp.int32),
+                              drop.k0, drop.k1, drop.thresh)
+            xg = xg * keep[:, None].astype(xg.dtype)
         out = out + segment_sum_csr(jax.lax.stop_gradient(xg), band.lo_dst,
                                     band.lo_row_ptr, interpret).astype(out.dtype)
     return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def band_spmm(x: Array, bands: BandPair, interpret: bool = False) -> Array:
+def band_spmm(x: Array, bands: BandPair, interpret: bool = False,
+              drop: Optional[DropSpec] = None) -> Array:
     """out = A @ x for the adjacency encoded by ``bands.fwd``
     (out[r] = Σ_{e: recv_e=r} x[send_e]); backward = Aᵀ @ g via ``bands.bwd``.
-    x must be lane-aligned (C % 128 == 0) and node-padded to a BN multiple."""
-    return _band_all(x, bands.fwd, interpret)
+    x must be lane-aligned (C % 128 == 0) and node-padded to a BN multiple.
+    ``drop``: hash edge-drop applied identically in forward and transpose."""
+    return _band_all(x, bands.fwd, interpret, drop, swap=False)
 
 
-def _band_spmm_fwd(x, bands, interpret):
-    return _band_all(x, bands.fwd, interpret), bands.bwd
+def _band_spmm_fwd(x, bands, interpret, drop):
+    return (_band_all(x, bands.fwd, interpret, drop, swap=False),
+            (bands.bwd, drop))
 
 
-def _band_spmm_bwd(interpret, bwd_band, g):
-    return _band_all(g, bwd_band, interpret), None
+def _band_spmm_bwd(interpret, res, g):
+    bwd_band, drop = res
+    return _band_all(g, bwd_band, interpret, drop, swap=True), None, None
 
 
 band_spmm.defvjp(_band_spmm_fwd, _band_spmm_bwd)
@@ -559,7 +685,46 @@ def band_softmax_agg_auto(x, bands, t, eps: float = 1e-7,
     return out[:, :c] if pad else out
 
 
-def band_sum_auto(x: Array, bands: BandPair, interpret: bool = False) -> Array:
+def band_gat_agg(feat_src: Array, el: Array, bands: BandPair,
+                 neg_slope: float = 0.2, compute_dtype=None,
+                 interpret: bool = False,
+                 drop: Optional["DropSpec"] = None) -> Tuple[Array, Array]:
+    """Gather-free DGL-flavor GAT aggregation for the sender-only score case
+    (`use_attn_dst=False` — the published RevGAT/ogbn-arxiv config,
+    `examples/ogb_eff/ogbn_arxiv_dgl/main.py:99` with --no-attn-dst):
+
+        score_e = leaky_relu(el[send_e])          (node-factored!)
+        out[r]  = Σ_e softmax_e(score)·feat_src[send_e]
+
+    Because the score depends only on the SENDER, exp(score − cmax) is a node
+    table and num/den are ONE band SpMM of the packed [e·feat | e] table —
+    the same factorization as band_softmax_agg.  The global per-head cmax
+    stabilizer is exact softmax algebra (any shift cancels); numerics match
+    the segment path to bf16 tolerance (tests/test_band_gat.py).
+
+    feat_src: [N, H, D] (symmetric-norm pre-scaling already applied);
+    el: [N, H] attention logits a_l·feat_src.  Returns (num [N,H,D],
+    den [N,H]) both f32 — caller divides (keeps the den>0 masking in one
+    place, convs/dgl_gat.py).  ``drop``: hash edge-drop (DropSpec) — the
+    renormalizing attention edge-drop, applied before the softmax exactly as
+    `model_rev.py:166-172` does, consistently in forward and VJP.
+    """
+    n, h, d = feat_src.shape
+    score = jax.nn.leaky_relu(el.astype(jnp.float32), neg_slope)
+    cmax = jax.lax.stop_gradient(jnp.max(score, axis=0))
+    e = jnp.exp(score - cmax[None, :])                        # [N, H]
+    cd = compute_dtype or feat_src.dtype
+    p = jnp.concatenate(
+        [(e[:, :, None] * feat_src.astype(jnp.float32)).reshape(n, h * d), e],
+        axis=1).astype(cd)
+    agg = band_sum_auto(p, bands, interpret, drop)
+    num = agg[:, :h * d].astype(jnp.float32).reshape(n, h, d)
+    den = agg[:, h * d:].astype(jnp.float32)
+    return num, den
+
+
+def band_sum_auto(x: Array, bands: BandPair, interpret: bool = False,
+                  drop: Optional[DropSpec] = None) -> Array:
     """Lane-padding wrapper over ``band_spmm``: out[r] = Σ_{e: recv=r} x[send_e]
     over the graph's VALID edges (with multiplicity, self edges included) —
     gather-free twin of ``ops.segment.segment_sum(gather(x), receivers)``.
@@ -569,12 +734,120 @@ def band_sum_auto(x: Array, bands: BandPair, interpret: bool = False) -> Array:
     pad = (-c) % 128
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)))
-    out = band_spmm(x, bands, interpret)
+    out = band_spmm(x, bands, interpret, drop)
     return out[:, :c] if pad else out
 
 
-# Aggregators with a node-factored band form.  max/min are NOT band-servable
-# (a weighted-sum kernel cannot express them); softmax needs the fused
+# ---------------------------------------------------------------------------
+# band extreme (max/min): masked window reduce — gather-free forward
+# ---------------------------------------------------------------------------
+
+_NEG_INF = float("-inf")
+
+
+def _window_extreme(x: Array, band: Band, kind: str) -> Array:
+    """Per-receiver extreme over the window band's edges: for each 128-row
+    block, reduce the DMA'd window under the count>0 mask.  Pure XLA — the
+    where() fuses into the reduction (input fusion), so HBM traffic is the
+    same windows+A the sum kernel moves; the VPU pays W/deg redundant
+    compares, which the gather path trades for its 420M rows/s take
+    (measured comparison: scripts/tpu_band_sweep.py notes / ROOFLINE.md)."""
+    n_pad, c = x.shape
+    w = band.window
+    nb = n_pad // BN
+    fill = _NEG_INF if kind == "max" else float("inf")
+    win = jnp.take(x, band.w_lo[:, None] + jnp.arange(w)[None, :], axis=0)
+    mask = band.a.reshape(nb, BN, w) > 0
+    fn = jnp.max if kind == "max" else jnp.min
+    out = fn(jnp.where(mask[:, :, :, None], win[:, None, :, :],
+                       jnp.asarray(fill, x.dtype)), axis=2)
+    return out.reshape(n_pad, c)
+
+
+def _band_extreme_fwd_impl(x, band, kind):
+    n_pad = x.shape[0]
+    fill = jnp.asarray(_NEG_INF if kind == "max" else float("inf"), x.dtype)
+    out = _window_extreme(x, band, kind)
+    if band.n_lo:
+        # leftover: sentinel rows contribute ±inf to segment 0 — a no-op for
+        # the extreme; ids clip instead of masking
+        xg = jnp.take(x, jnp.minimum(band.lo_src, n_pad - 1), axis=0)
+        sent = (band.lo_dst >= n_pad)[:, None]
+        vals = jnp.where(sent, fill, xg)
+        fn = jax.ops.segment_max if kind == "max" else jax.ops.segment_min
+        lo = fn(vals, jnp.minimum(band.lo_dst, n_pad - 1), n_pad,
+                indices_are_sorted=True)
+        cmb = jnp.maximum if kind == "max" else jnp.minimum
+        out = cmb(out, lo)
+    # torch_scatter empty-segment semantics: no edges → exactly 0
+    return jnp.where(jnp.isfinite(out), out, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def band_extreme(x: Array, bands: BandPair, senders: Array, receivers: Array,
+                 edge_mask: Array, kind: str = "max",
+                 indices_are_sorted: bool = True) -> Array:
+    """Gather-free segment max/min of a NODE table over the graph's edges:
+    out[r] = extreme_{e: recv=r} x[send_e], empty → 0 (torch_scatter
+    semantics, `utils/pyg_util.py:30-34`).  Forward reads windows instead of
+    per-edge rows; backward is the tie-splitting gather/compare/segment-sum of
+    ops.segment._segment_extreme (same eligibility: an edge's receiver is
+    nonempty by construction, so out[r] is a true extreme and equality testing
+    is sound).  Requires a hub-free band (see band_extreme_ok) — dense hub
+    columns would need a [N, H, C] masked reduce.  senders/receivers/edge_mask
+    are the graph's (sentinel-padded) edge arrays, used only by the VJP."""
+    return _band_extreme_fwd_impl(x, bands.fwd, kind)
+
+
+def _band_extreme_fwd(x, bands, senders, receivers, edge_mask, kind,
+                      indices_are_sorted):
+    out = _band_extreme_fwd_impl(x, bands.fwd, kind)
+    return out, (x, out, senders, receivers, edge_mask)
+
+
+def _band_extreme_bwd(kind, indices_are_sorted, res, g):
+    x, out, senders, receivers, edge_mask = res
+    n_pad = x.shape[0]
+    ids = jnp.minimum(receivers, n_pad - 1)
+    sid = jnp.minimum(senders, n_pad - 1)
+    x_e = jnp.take(x, sid, axis=0)
+    out_e = jnp.take(out, ids, axis=0)
+    elig = (x_e == out_e) & edge_mask[:, None]
+    cnt = jax.ops.segment_sum(elig.astype(jnp.float32), ids, n_pad,
+                              indices_are_sorted=indices_are_sorted)
+    cnt_e = jnp.take(jnp.maximum(cnt, 1.0), ids, axis=0)
+    g_e = jnp.take(g.astype(jnp.float32), ids, axis=0)
+    dd = jnp.where(elig, g_e / cnt_e, 0.0)
+    dx = jax.ops.segment_sum(dd, sid, n_pad, indices_are_sorted=False)
+    return (dx.astype(x.dtype), None, None, None, None)
+
+
+band_extreme.defvjp(_band_extreme_fwd, _band_extreme_bwd)
+
+
+def band_extreme_ok(g, min_coverage: float = 0.98) -> bool:
+    """Gate for the max/min band route: the extreme is only gather-free when
+    (nearly) every edge is in the window band — a large leftover would pay the
+    gather anyway — and hub structures are not servable by the window reduce.
+    kNN / locality-ordered uniform graphs (the MRConv/EdgeConv shapes) pass;
+    hub-heavy graphs fall back to the segment path."""
+    band = getattr(g, "band", None)
+    if band is None:
+        return False
+    f = band.fwd
+    if f.hub_ids is not None or f.hub_row_ids is not None:
+        from .segment import _miss
+        return _miss("band_extreme", "hub structures present (max/min window "
+                     "reduce serves the pure window band only)")
+    if f.coverage < min_coverage:
+        from .segment import _miss
+        return _miss("band_extreme",
+                     f"band coverage {f.coverage:.2f} < {min_coverage}")
+    return _band_platform_ok()
+
+
+# Aggregators with a node-factored band form.  max/min ride band_extreme
+# (masked window reduce) when band_extreme_ok passes; softmax needs the fused
 # band_softmax_agg; the rest ride plain band_sum_auto on a node table.
 BAND_SOFTMAX_AGGRS = ("softmax", "softmax_sg", "softmax_sum")
 BAND_SUM_AGGRS = ("add", "sum", "mean", "power", "power_sum")

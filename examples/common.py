@@ -176,3 +176,45 @@ class EpochTimer:
 
     def mean(self):
         return float(np.mean(self.times)) if self.times else 0.0
+
+
+def reorder_and_band(args, g, labels, splits, rng):
+    """Shared --reorder/--band post-pass: relabel the graph by a locality
+    permutation (node arrays and split index sets move consistently) and
+    attach the band-dense adjacency.  Works on an already-built Graph
+    (rebuilds it when a permutation applies).  Metrics are
+    permutation-invariant; call BEFORE jax.device_put."""
+    import numpy as np
+
+    reorder = getattr(args, "reorder", "none")
+    band = getattr(args, "band", "off")
+    if reorder == "none" and band == "off":
+        return g, labels, splits
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph
+
+    if reorder != "none":
+        from deep_gcns_torch_tpu.data.reorder import (cluster_order,
+                                                      invert_permutation,
+                                                      permute_graph, rcm_order)
+
+        n = int(np.sum(np.asarray(g.node_mask)))
+        n_edge = int(g.n_edge)
+        s = np.asarray(g.senders)[:n_edge]
+        r = np.asarray(g.receivers)[:n_edge]
+        x = np.asarray(g.x)[:n]
+        if reorder == "rcm":
+            perm = rcm_order(s, r, n)
+        else:
+            perm = cluster_order(s, r, n, cluster_size=16384)
+        s, r, x, labels = permute_graph(perm, s, r, x, np.asarray(labels))
+        inv = invert_permutation(perm)
+        splits = {k: inv[np.asarray(v)] for k, v in splits.items()}
+        g = build_graph(x, s, r, num_nodes=n)
+    if band != "off":
+        g = attach_band(g)
+        import logging
+
+        logging.getLogger("deep_gcns_torch_tpu").info(
+            "band attached: window=%d coverage=%.3f (bwd %.3f)",
+            g.band.fwd.window, g.band.fwd.coverage, g.band.bwd.coverage)
+    return g, labels, splits

@@ -37,6 +37,13 @@ def get_args():
     p.add_argument("--mode", type=str, default="teacher",
                    choices=["teacher", "student"])
     p.add_argument("--teacher_ckpt", type=str, default="")
+    p.add_argument("--reorder", type=str, default="none",
+                   choices=["none", "rcm", "cluster"],
+                   help="locality pass (data/reorder.py) before --band")
+    p.add_argument("--band", type=str, default="off", choices=["off", "auto"],
+                   help="attach the band-dense adjacency: gather-free GAT "
+                        "attention (sender-only scores are node-factored; "
+                        "edge-drop rides the hash DropSpec)")
     p.add_argument("--alpha", type=float, default=0.95)
     p.add_argument("--temp", type=float, default=0.7)
     p.set_defaults(epochs=2000, lr=0.002, dropout=0.75)
@@ -81,6 +88,10 @@ def main():
         g = build_graph(ds.x, s, r)
         labels, splits, in_feats = ds.labels, ds.splits, ds.x.shape[1]
         n = ds.x.shape[0]
+
+    from common import reorder_and_band
+
+    g, labels, splits = reorder_and_band(args, g, labels, splits, rng)
 
     K = args.num_classes
     g = jax.device_put(g)

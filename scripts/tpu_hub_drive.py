@@ -30,7 +30,7 @@ def realistic(rng, n, deg):
 
     s, r = powerlaw_community_edges(rng, n, deg)
     t0 = time.time()
-    perm = cluster_order(s, r, n, cluster_size=4096)
+    perm = cluster_order(s, r, n, cluster_size=16384)
     s, r = permute_graph(perm, s, r)
     print(f"[gen] n={n} E={len(s)} cluster_order={time.time()-t0:.2f}s",
           file=sys.stderr)

@@ -247,3 +247,95 @@ def test_uniform_graph_builds_no_hubs(rng_np):
     for b in (bp.fwd, bp.bwd):
         assert b.hub_ids is None and b.hub_row_ids is None
         assert b.n_hub == 0 and b.n_hub_row == 0
+
+
+def test_band_extreme_matches_segment_max(rng_np):
+    """Masked window max/min + leftover vs ops.segment — incl. tie-split VJP
+    and empty-receiver zeros (torch_scatter semantics)."""
+    from deep_gcns_torch_tpu.ops.band import band_extreme
+    from deep_gcns_torch_tpu.ops.segment import segment_max, segment_min
+
+    n = 4 * BN
+    s, r = banded_graph(rng_np, n, 5, 400)  # forces a leftover
+    r[r >= 3 * BN] = 0  # last block receives nothing
+    # quantized values force ties for the VJP split
+    x = jnp.asarray(np.round(rng_np.standard_normal((n, 64)) * 2) / 2
+                    ).astype(jnp.float32)
+    bp = build_band_pair(s, r, n, 256, hubs=None)
+    assert bp.fwd.n_lo > 0
+    from deep_gcns_torch_tpu.graph import build_graph as bg
+    g = bg(None, s, r, num_nodes=n, node_pad=n)
+    for kind, ref in (("max", segment_max), ("min", segment_min)):
+        got = band_extreme(x, bp, g.senders, g.receivers, g.edge_mask, kind)
+        xg = jnp.take(x, jnp.minimum(g.senders, n - 1), axis=0)
+        want = ref(xg, g.receivers, n, mask=g.edge_mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
+        assert np.all(np.asarray(got)[3 * BN:] == 0)
+        co = jnp.asarray(rng_np.standard_normal((n, 64)).astype(np.float32))
+        g1 = jax.grad(lambda x_: jnp.sum(band_extreme(
+            x_, bp, g.senders, g.receivers, g.edge_mask, kind) * co))(x)
+        g2 = jax.grad(lambda x_: jnp.sum(ref(
+            jnp.take(x_, jnp.minimum(g.senders, n - 1), axis=0),
+            g.receivers, n, mask=g.edge_mask) * co))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-5,
+                                   atol=3e-6)
+
+
+def test_band_extreme_gate(rng_np):
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph as bg
+    from deep_gcns_torch_tpu.ops.band import band_extreme_ok
+    import deep_gcns_torch_tpu.ops.band as band_mod
+
+    n = 4 * BN
+    s, r = banded_graph(rng_np, n, 6, 100)
+    g = attach_band(bg(None, s, r, num_nodes=n, node_pad=n), window=512)
+    try:
+        band_mod._TEST_MODE = True
+        assert band_extreme_ok(g) is True
+        # hub structures present -> gate off
+        sh, rh = powerlaw_graph(rng_np, n, 8)
+        gh = attach_band(bg(None, sh, rh, num_nodes=n, node_pad=n),
+                         window=256, hubs=64)
+        assert gh.band.fwd.hub_ids is not None
+        assert band_extreme_ok(gh) is False
+        # low coverage -> gate off
+        gw = attach_band(bg(None, s, np.roll(r, n // 2), num_nodes=n,
+                            node_pad=n), window=128, hubs=None)
+        if gw.band.fwd.coverage < 0.98:
+            assert band_extreme_ok(gw) is False
+    finally:
+        band_mod._TEST_MODE = False
+
+
+def test_mrconv_and_genconv_max_band_route(rng_np):
+    """MRConv / GENConv-max parity: band route vs segment route."""
+    import deep_gcns_torch_tpu.ops.band as band_mod
+    from deep_gcns_torch_tpu.convs.sparse import GENConv, MRConv
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph as bg
+
+    n = 4 * BN
+    s, r = banded_graph(rng_np, n, 6, 120)
+    x = rng_np.standard_normal((n, 32)).astype(np.float32)
+    g = attach_band(bg(x, s, r, num_nodes=n), window=512)
+    xj = jnp.asarray(np.asarray(g.x))
+    try:
+        band_mod._TEST_MODE = True
+        for conv in (MRConv(32, 16), GENConv(32, 16, aggr="max", norm="layer")):
+            params, st = conv.init(jax.random.PRNGKey(0))
+            o1, _ = conv.apply(params, st, xj, g)
+            o2, _ = conv.apply(params, st, xj, g.replace(band=None))
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                       rtol=2e-4, atol=2e-5)
+            co = jnp.asarray(rng_np.standard_normal(o1.shape).astype(np.float32))
+
+            def loss(x_, graph):
+                o, _ = conv.apply(params, st, x_, graph)
+                return jnp.sum(o * co)
+
+            g1 = jax.grad(loss)(xj, g)
+            g2 = jax.grad(loss)(xj, g.replace(band=None))
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=3e-4, atol=3e-5)
+    finally:
+        band_mod._TEST_MODE = False
