@@ -68,6 +68,20 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.cluster_order.argtypes = [i32p, i32p, ctypes.c_int64,
                                           ctypes.c_int32, ctypes.c_int32, i32p]
             lib.cluster_order.restype = None
+        if hasattr(lib, "band_windows"):
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.band_windows.argtypes = [
+                i32p, i64p, ctypes.c_int32, ctypes.c_int32, i32p,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int64, i32p, u8p]
+            lib.band_windows.restype = ctypes.c_int32
+        if hasattr(lib, "band_counts"):
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.band_counts.argtypes = [
+                i32p, i32p, u8p, ctypes.c_int64, i32p, ctypes.c_int32,
+                ctypes.c_int32, i8p, i32p, i32p, ctypes.c_int64]
+            lib.band_counts.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -159,3 +173,53 @@ def partition_clusters(senders: np.ndarray, receivers: np.ndarray,
                                 _ptr(ls), _ptr(lr), _ptr(ei))
         out.append((ls[:k], lr[:k], ei[:k]))
     return local_id, sizes, out
+
+
+def band_windows(s_sorted: np.ndarray, blk_start: np.ndarray, n_pad: int,
+                 cands, target_cov: float, cost_div: int, align: int):
+    """Window selection + per-block starts + in-band flags for the band
+    builder (ops/band._build_window hot loop).  Returns (window, w_lo,
+    in_band) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "band_windows"):
+        return None
+    s_sorted = np.ascontiguousarray(s_sorted, np.int32)
+    blk_start = np.ascontiguousarray(blk_start, np.int64)
+    cands = np.ascontiguousarray(cands, np.int32)
+    nb = len(blk_start) - 1
+    w_lo = np.empty(nb, np.int32)
+    in_band = np.empty(len(s_sorted), np.uint8)
+    window = lib.band_windows(
+        _ptr(s_sorted), _ptr(blk_start, ctypes.c_int64), np.int32(nb),
+        np.int32(n_pad), _ptr(cands), np.int32(len(cands)),
+        ctypes.c_double(target_cov), ctypes.c_int64(cost_div),
+        np.int32(align), ctypes.c_int64(nb * 128), _ptr(w_lo),
+        _ptr(in_band, ctypes.c_uint8))
+    return int(window), w_lo, in_band.astype(bool)
+
+
+def band_counts(s_sorted: np.ndarray, r_sorted: np.ndarray,
+                in_band: np.ndarray, w_lo: np.ndarray, window: int, bn: int,
+                n_rows: int):
+    """Fill the int8 band count matrix in one pass (saturation spills
+    returned as extra leftover edges).  Returns (a_band, spill_s, spill_r)
+    or None when the native library is unavailable / spill overflow."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "band_counts"):
+        return None
+    s_sorted = np.ascontiguousarray(s_sorted, np.int32)
+    r_sorted = np.ascontiguousarray(r_sorted, np.int32)
+    in_band = np.ascontiguousarray(in_band, np.uint8)
+    w_lo = np.ascontiguousarray(w_lo, np.int32)
+    a_band = np.zeros((n_rows, window), np.int8)
+    cap = 1 << 20
+    spill_s = np.empty(cap, np.int32)
+    spill_r = np.empty(cap, np.int32)
+    n = lib.band_counts(_ptr(s_sorted), _ptr(r_sorted),
+                        _ptr(in_band, ctypes.c_uint8), len(s_sorted),
+                        _ptr(w_lo), np.int32(window), np.int32(bn),
+                        _ptr(a_band, ctypes.c_int8), _ptr(spill_s),
+                        _ptr(spill_r), ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return a_band, spill_s[:n].copy(), spill_r[:n].copy()

@@ -248,4 +248,102 @@ void cluster_order(const int32_t* senders, const int32_t* receivers,
   }
 }
 
+
+// Band window selection (ops/band._build_window hot loop): senders sorted
+// ascending WITHIN each receiver block (blk_start delimits blocks).  Phase 1:
+// per candidate window, the best-interval edge count per block (two-pointer);
+// phase 2: pick the window (smallest reaching target coverage, else
+// score = covered - W * n_rows / cost_div); phase 3: for the chosen window,
+// per-block aligned start w_lo and the in-band flag per edge.
+// Returns the chosen window.
+int32_t band_windows(const int32_t* s_sorted, const int64_t* blk_start,
+                     int32_t nb, int32_t n_pad, const int32_t* cands,
+                     int32_t n_cands, double target_cov, int64_t cost_div,
+                     int32_t align, int64_t n_rows, int32_t* w_lo_out,
+                     uint8_t* in_band_out) {
+  int64_t n_edges = blk_start[nb];
+  std::vector<int64_t> covered(n_cands, 0);
+  for (int32_t b = 0; b < nb; ++b) {
+    int64_t a = blk_start[b], z = blk_start[b + 1];
+    if (a == z) continue;
+    for (int32_t j = 0; j < n_cands; ++j) {
+      int32_t w = cands[j];
+      int64_t best = 0, hi = a;
+      for (int64_t i = a; i < z; ++i) {
+        if (hi < i) hi = i;
+        while (hi < z && s_sorted[hi] < s_sorted[i] + w) ++hi;
+        if (hi - i > best) best = hi - i;
+      }
+      covered[j] += best;
+    }
+  }
+  int32_t window = -1;
+  for (int32_t j = 0; j < n_cands; ++j) {
+    if (covered[j] >= static_cast<int64_t>(target_cov * n_edges)) {
+      window = cands[j];
+      break;
+    }
+  }
+  if (window < 0) {
+    int64_t best_score = INT64_MIN;
+    for (int32_t j = 0; j < n_cands; ++j) {
+      int64_t score = covered[j]
+          - static_cast<int64_t>(cands[j]) * n_rows / cost_div;
+      if (score > best_score) {  // strict >: first max wins (numpy argmax)
+        best_score = score;
+        window = cands[j];
+      }
+    }
+  }
+  for (int32_t b = 0; b < nb; ++b) {
+    int64_t a = blk_start[b], z = blk_start[b + 1];
+    w_lo_out[b] = 0;
+    if (a == z) continue;
+    int64_t best = 0, best_i = a, hi = a;
+    for (int64_t i = a; i < z; ++i) {
+      if (hi < i) hi = i;
+      while (hi < z && s_sorted[hi] < s_sorted[i] + window) ++hi;
+      if (hi - i > best) { best = hi - i; best_i = i; }
+    }
+    int32_t lo = (s_sorted[best_i] / align) * align;
+    if (lo > n_pad - window) lo = n_pad - window;
+    if (lo < 0) lo = 0;
+    w_lo_out[b] = lo;
+    for (int64_t i = a; i < z; ++i)
+      in_band_out[i] =
+          (s_sorted[i] >= lo && s_sorted[i] < lo + window) ? 1 : 0;
+  }
+  return window;
+}
+
+
+// Band count-matrix fill (ops/band._build_window): one pass over the
+// (block, sender)-sorted edges, incrementing int8 counts with saturation at
+// 127; saturated increments spill to (spill_s, spill_r) for the leftover CSR.
+// Returns the spill count, or -1 if it would exceed spill_cap (caller falls
+// back to the numpy path).  a_band must arrive zeroed, shape [n_rows, window]
+// row-major; rows are receiver ids, columns sender - w_lo[receiver / bn].
+int64_t band_counts(const int32_t* s_sorted, const int32_t* r_sorted,
+                    const uint8_t* in_band, int64_t n_edges,
+                    const int32_t* w_lo, int32_t window, int32_t bn,
+                    int8_t* a_band, int32_t* spill_s, int32_t* spill_r,
+                    int64_t spill_cap) {
+  int64_t n_spill = 0;
+  for (int64_t i = 0; i < n_edges; ++i) {
+    if (!in_band[i]) continue;
+    int32_t r = r_sorted[i];
+    int64_t col = s_sorted[i] - w_lo[r / bn];
+    int8_t* cell = a_band + static_cast<int64_t>(r) * window + col;
+    if (*cell == 127) {
+      if (n_spill >= spill_cap) return -1;
+      spill_s[n_spill] = s_sorted[i];
+      spill_r[n_spill] = r;
+      ++n_spill;
+    } else {
+      ++*cell;
+    }
+  }
+  return n_spill;
+}
+
 }  // extern "C"

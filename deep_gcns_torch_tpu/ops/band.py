@@ -297,38 +297,57 @@ def _build_window(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
     order = np.lexsort((senders, rb))
     s, r, rbo = senders[order], receivers[order], rb[order]
     blk_start = np.searchsorted(rbo, np.arange(nb + 1))
-    if window == "auto":
-        window = _pick_window(s, blk_start, nb, n_pad)
 
-    w_lo = np.zeros(nb, np.int32)
-    in_band = np.zeros(len(s), bool)
-    for b in range(nb):
-        a, z = blk_start[b], blk_start[b + 1]
-        if a == z:
-            continue
-        ss = s[a:z]  # sorted ascending within the block
-        # best length-`window` interval: two-pointer via searchsorted
-        hi = np.searchsorted(ss, ss + window, side="left")
-        cover = hi - np.arange(len(ss))
-        i = int(np.argmax(cover))
-        lo = _round_down(int(ss[i]), ALIGN)
-        lo = min(max(lo, 0), n_pad - window)
-        w_lo[b] = lo
-        in_band[a:z] = (ss >= lo) & (ss < lo + window)
+    from .. import native
 
-    # dense counts (int32 then clamp; >127 multi-edges overflow to leftover)
-    a_band = np.zeros((nb * BN, window), np.int32)
-    sb, rb_b = s[in_band], r[in_band]
-    np.add.at(a_band, (rb_b, sb - w_lo[rb_b // BN]), 1)
-    over = a_band > 127
-    if over.any():
-        rows, cols = np.nonzero(over)
-        rep = a_band[rows, cols] - 127
-        extra_r = _cat(extra_r, np.repeat(rows, rep).astype(np.int64))
-        extra_s = _cat(extra_s,
-                       np.repeat(cols + w_lo[rows // BN], rep).astype(np.int64))
-        a_band[rows, cols] = 127
-    a_band = a_band.astype(np.int8)
+    cands = ([w for w in AUTO_WINDOWS if w <= n_pad] or [n_pad]) \
+        if window == "auto" else [window]
+    res = native.band_windows(s, blk_start, n_pad, cands,
+                              0.99 if window == "auto" else 0.0, 1536, ALIGN)
+    if res is not None:
+        window, w_lo, in_band = res
+    else:
+        if window == "auto":
+            window = _pick_window(s, blk_start, nb, n_pad)
+        w_lo = np.zeros(nb, np.int32)
+        in_band = np.zeros(len(s), bool)
+        for b in range(nb):
+            a, z = blk_start[b], blk_start[b + 1]
+            if a == z:
+                continue
+            ss = s[a:z]  # sorted ascending within the block
+            # best length-`window` interval: two-pointer via searchsorted
+            hi = np.searchsorted(ss, ss + window, side="left")
+            cover = hi - np.arange(len(ss))
+            i = int(np.argmax(cover))
+            lo = _round_down(int(ss[i]), ALIGN)
+            lo = min(max(lo, 0), n_pad - window)
+            w_lo[b] = lo
+            in_band[a:z] = (ss >= lo) & (ss < lo + window)
+
+    # dense counts (int8 with saturation; >127 multi-edges overflow to
+    # leftover).  Native single-pass fill when available (the numpy
+    # add.at+astype pair costs ~4s at arxiv scale); numpy fallback below.
+    counted = native.band_counts(s, r, in_band, w_lo, window, BN, nb * BN)
+    if counted is not None:
+        a_band, sp_s, sp_r = counted
+        if len(sp_s):
+            extra_s = _cat(extra_s, sp_s.astype(np.int64))
+            extra_r = _cat(extra_r, sp_r.astype(np.int64))
+    else:
+        a_band = np.zeros((nb * BN, window), np.int32)
+        sb, rb_b = s[in_band], r[in_band]
+        np.add.at(a_band, (rb_b, sb - w_lo[rb_b // BN]), 1)
+        over = a_band > 127
+        if over.any():
+            rows, cols = np.nonzero(over)
+            rep = a_band[rows, cols] - 127
+            extra_r = _cat(extra_r, np.repeat(rows, rep).astype(np.int64))
+            extra_s = _cat(extra_s,
+                           np.repeat(cols + w_lo[rows // BN],
+                                     rep).astype(np.int64))
+            a_band[rows, cols] = 127
+        a_band = a_band.astype(np.int8)
 
     lo_s = s[~in_band]
     lo_r = r[~in_band]

@@ -1,0 +1,167 @@
+"""Time the band-dense GAT path vs the fused-CSC pair on the real chip, at
+RevGAT/ogbn-arxiv scale (169k nodes / 2.5M edges, 256h × 3 heads,
+sender-only scores), train mode with hash edge-drop — plus the band max/min
+window reduce vs the segment path at bench shape.
+
+Usage: python scripts/tpu_gat_drive.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tpu_hub_drive import realistic  # noqa: E402
+
+
+def chain(jax, jnp, f, x0, args, iters=8):
+    @jax.jit
+    def run(x0, args):
+        def body(x_, _):
+            o = f(x_, args)
+            return x_ + 1e-6 * o.astype(x_.dtype), None
+        return jax.lax.scan(body, x0, None, length=iters)[0]
+    run(x0, args).block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        run(x0, args).block_until_ready()
+        best = min(best, (time.time() - t0) / iters)
+    return best * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    assert jax.devices()[0].platform == "tpu"
+
+    import deep_gcns_torch_tpu.ops.band as band_mod
+    from deep_gcns_torch_tpu.convs.dgl_gat import SymGATConv
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph
+    from deep_gcns_torch_tpu.ops.band import drop_key_bits
+
+    rng = np.random.default_rng(0)
+    n, deg = 169_343, 15
+    s, r = realistic(rng, n, deg)
+    x_np = rng.standard_normal((n, 128)).astype(np.float32)
+    g = attach_band(build_graph(x_np, s, r, num_nodes=n))
+    print(f"[gat] band fwd w={g.band.fwd.window} cov={g.band.fwd.coverage:.3f}"
+          f" bwd cov={g.band.bwd.coverage:.3f}", file=sys.stderr)
+
+    conv = SymGATConv(128, 256, num_heads=3, edge_drop=0.3, use_attn_dst=False,
+                      residual=True, use_symmetric_norm=True,
+                      compute_dtype="bfloat16")
+    params, _ = conv.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.asarray(g.x))  # node-PADDED rows (band requirement)
+    dk = drop_key_bits(jax.random.PRNGKey(1))
+
+    # band and CSC graphs: band rides as an ARGUMENT (tunnel HTTP 413)
+    g_csc = jax.device_put(g.replace(band=None))
+    band_d = jax.device_put(g.band)
+
+    def f_band_train(x_, band):
+        gg = g_csc.replace(band=band)
+        out, _ = conv.apply(params, {}, x_, gg, train=True, drop_key=dk)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def f_csc_train(x_, _):
+        out, _ = conv.apply(params, {}, x_, g_csc, train=True, drop_key=dk)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def f_band_eval(x_, band):
+        gg = g_csc.replace(band=band)
+        out, _ = conv.apply(params, {}, x_, gg, train=False)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def f_csc_eval(x_, _):
+        out, _ = conv.apply(params, {}, x_, g_csc, train=False)
+        return jnp.sum(out.astype(jnp.float32))
+
+    # parity first (train incl. drop: same hash draws both paths)
+    o1 = jax.jit(lambda x_, b: jax.value_and_grad(f_band_train)(x_, b)
+                 )(x, band_d)
+    o2 = jax.jit(lambda x_, b: jax.value_and_grad(f_csc_train)(x_, b)
+                 )(x, band_d)
+    rel = float(abs(o1[0] - o2[0]) / (abs(o2[0]) + 1e-9))
+    grel = float(jnp.max(jnp.abs(o1[1] - o2[1]))
+                 / (jnp.max(jnp.abs(o2[1])) + 1e-9))
+    print(f"[gat] train parity: loss rel={rel:.2e} dx rel={grel:.2e}",
+          file=sys.stderr)
+    assert rel < 2e-2 and grel < 3e-2, (rel, grel)
+
+    for label, fb, fc in (("eval fwd", f_band_eval, f_csc_eval),
+                          ("train fwd", f_band_train, f_csc_train)):
+        tb = chain(jax, jnp, lambda x_, b, fb=fb: jnp.broadcast_to(
+            fb(x_, b), (1,)) * jnp.ones_like(x_[:1]), x, band_d)
+        tc = chain(jax, jnp, lambda x_, b, fc=fc: jnp.broadcast_to(
+            fc(x_, b), (1,)) * jnp.ones_like(x_[:1]), x, band_d)
+        print(f"[gat] {label}: band={tb:.2f}ms csc={tc:.2f}ms "
+              f"speedup={tc/tb:.2f}x", file=sys.stderr)
+
+    def g_band(x_, band):
+        return jax.grad(f_band_train)(x_, band)
+
+    def g_csc(x_, band):
+        return jax.grad(f_csc_train)(x_, band)
+
+    tb = chain(jax, jnp, g_band, x, band_d)
+    tc = chain(jax, jnp, g_csc, x, band_d)
+    print(f"[gat] train fwd+bwd: band={tb:.2f}ms csc={tc:.2f}ms "
+          f"speedup={tc/tb:.2f}x", file=sys.stderr)
+
+    # --- band max/min window reduce vs segment path -------------------------
+    # hub-free band (band_extreme serves the pure window band only)
+    from deep_gcns_torch_tpu.ops.band import band_extreme, build_band_pair
+
+    bp_nohub = build_band_pair(s, r, g.num_nodes_padded, "auto", hubs=None)
+    print(f"[max] hub-free band w={bp_nohub.fwd.window} "
+          f"cov={bp_nohub.fwd.coverage:.3f}", file=sys.stderr)
+    band_d = jax.device_put(bp_nohub)
+    from deep_gcns_torch_tpu.ops.segment import segment_max
+
+    def f_bmax(x_, band):
+        return band_extreme(x_, band, g_csc.senders, g_csc.receivers,
+                            g_csc.edge_mask, "max")
+
+    def f_smax(x_, _):
+        xg = jnp.take(x_, jnp.minimum(g_csc.senders, x_.shape[0] - 1), axis=0)
+        return segment_max(xg, g_csc.receivers, x_.shape[0],
+                           mask=g_csc.edge_mask)
+
+    xb = x.astype(jnp.bfloat16)
+    o1 = jax.jit(f_bmax)(xb, band_d)
+    o2 = jax.jit(f_smax)(xb, band_d)
+    err = float(jnp.max(jnp.abs(o1.astype(jnp.float32)
+                                - o2.astype(jnp.float32))))
+    print(f"[max] parity abs err={err:.2e}", file=sys.stderr)
+    tb = chain(jax, jnp, f_bmax, xb, band_d)
+    ts = chain(jax, jnp, f_smax, xb, band_d)
+    print(f"[max] fwd: band={tb:.2f}ms segment={ts:.2f}ms "
+          f"speedup={ts/tb:.2f}x", file=sys.stderr)
+
+    def gb(x_, band):
+        return jax.grad(lambda x__: jnp.sum(f_bmax(x__, band).astype(
+            jnp.float32)))(x_)
+
+    def gs(x_, band):
+        return jax.grad(lambda x__: jnp.sum(f_smax(x__, band).astype(
+            jnp.float32)))(x_)
+
+    tbg = chain(jax, jnp, gb, xb, band_d)
+    tsg = chain(jax, jnp, gs, xb, band_d)
+    print(f"[max] fwd+bwd: band={tbg:.2f}ms segment={tsg:.2f}ms "
+          f"speedup={tsg/tbg:.2f}x", file=sys.stderr)
+    print("OK", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

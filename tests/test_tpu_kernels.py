@@ -110,3 +110,36 @@ def test_fused_softmax_gather_agg_kernel_parity(rng_np):
                                  t=t, learn_t=False, indices_are_sorted=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-3,
                                atol=1e-3)
+
+
+def test_band_drop_kernel_matches_edge_mask(rng_np):
+    """The Mosaic drop branch (in-kernel hash masking) must equal the
+    per-edge hash mask applied through the reference segment path."""
+    from deep_gcns_torch_tpu.graph import build_graph
+    from deep_gcns_torch_tpu.ops.band import (build_band_pair, band_spmm,
+                                              edge_keep_mask, make_edge_drop)
+
+    n = 2048
+    s, r = _banded(rng_np, n, 6, 700)
+    bp = build_band_pair(s, r, n, 256, hubs=None)
+    g = build_graph(None, s, r, num_nodes=n, node_pad=n)
+    x = jnp.asarray(rng_np.standard_normal((n, 128)).astype(np.float32))
+    spec = make_edge_drop(jax.random.PRNGKey(5), 0.4)
+    bp_d = jax.device_put(bp)
+    got, gx = jax.jit(lambda x_: (
+        band_spmm(x_, bp_d, False, spec),
+        jax.grad(lambda x__: jnp.sum(band_spmm(x__, bp_d, False, spec)))(x_)
+    ))(x)
+    keep = edge_keep_mask(spec, g.receivers, g.senders)
+    xg = jnp.take(x, jnp.minimum(g.senders, n - 1), axis=0)
+    masked = xg * (keep * g.edge_mask)[:, None]
+    want = jax.ops.segment_sum(masked, jnp.minimum(g.receivers, n - 1), n,
+                               indices_are_sorted=True)
+    gwant = jax.grad(lambda x_: jnp.sum(jax.ops.segment_sum(
+        jnp.take(x_, jnp.minimum(g.senders, n - 1), axis=0)
+        * (keep * g.edge_mask)[:, None],
+        jnp.minimum(g.receivers, n - 1), n)))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gwant), rtol=3e-4,
+                               atol=1e-4)
