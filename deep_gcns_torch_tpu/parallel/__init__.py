@@ -4,8 +4,11 @@ from .spatial import (SpatialDeeperGCN, shard_graph, shard_nodes,
                       spatial_forward, spatial_train_step)
 from .spatial_rev import (SpatialRevGCN, spatial_rev_forward,
                           spatial_rev_train_step)
+from .tensor import (TPDeeperGCN, shard_deeper_params, tp_forward,
+                     tp_train_step, unshard_deeper_params)
 
 __all__ = ["make_mesh", "cluster_dp_train_step", "SpatialDeeperGCN",
            "shard_graph", "shard_nodes", "spatial_forward",
            "spatial_train_step", "SpatialRevGCN", "spatial_rev_forward",
-           "spatial_rev_train_step"]
+           "spatial_rev_train_step", "TPDeeperGCN", "shard_deeper_params",
+           "tp_forward", "tp_train_step", "unshard_deeper_params"]
