@@ -83,6 +83,13 @@ class DeeperGCNConfig:
     use_one_hot_encoding: bool = False
     node_feat_dim: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' for the conv hot path
+    # res+ residual-carry dtype.  'float32' (default) keeps reference parity:
+    # torch accumulates h = h + res in f32.  'bfloat16' halves the carry's
+    # HBM traffic through the layer scan (read+write per layer, plus the
+    # backward's stacked residuals) at the cost of bf16 rounding in the
+    # residual sum — a PARITY-BREAKING option, priced on-chip so the cost of
+    # the default is a measured number (ROOFLINE.md "ER floor items").
+    residual_dtype: str = "float32"
 
 
 class DeeperGCN(Module):
@@ -173,6 +180,8 @@ class DeeperGCN(Module):
             oh, _ = self._one_hot.apply(params["one_hot_encoder"], {}, x)
             x = jnp.concatenate([node_feats, oh], axis=1)
         h, _ = self._encoder.apply(params["encoder"], {}, x)
+        if c.residual_dtype == "bfloat16":
+            h = h.astype(jnp.bfloat16)  # the scan carry inherits this dtype
 
         edge_emb = None
         if self._edge_encoder is not None and g.edge_attr is not None:
@@ -207,6 +216,8 @@ class DeeperGCN(Module):
             h, gs0 = self._apply_layer(self._slice(params["gcns"], 0),
                                        self._slice(state["gcns"], 0),
                                        h, g, edge_emb, train, layer_rng(0), axis_name)
+            if c.residual_dtype == "bfloat16":
+                h = h.astype(jnp.bfloat16)  # layer-0 MLP re-promoted to f32
 
             def prologue(np_, ns_, h, r):
                 # norm → relu → dropout (`model.py:90-94`). Checkpointed at train
@@ -253,7 +264,9 @@ class DeeperGCN(Module):
                     aux = (vn_ms,)
                 res, gs_out = self._apply_layer(gp_, gss, h2, g, edge_emb, train, r,
                                                 axis_name)
-                return (h + res, vn_out), (ns_out, gs_out) + aux
+                # res joins the carry in the carry's dtype (residual_dtype
+                # knob: bf16 carry would silently promote back to f32 here)
+                return (h + res.astype(h.dtype), vn_out), (ns_out, gs_out) + aux
 
             body_fn = jax.checkpoint(body) if c.remat else body
             (h, vn), scanned = jax.lax.scan(body_fn, (h, vn), jnp.arange(1, L))

@@ -844,12 +844,19 @@ def _band_extreme_bwd(kind, indices_are_sorted, res, g):
 band_extreme.defvjp(_band_extreme_fwd, _band_extreme_bwd)
 
 
+MAX_EXTREME_WINDOW = 256
+
+
 def band_extreme_ok(g, min_coverage: float = 0.98) -> bool:
-    """Gate for the max/min band route: the extreme is only gather-free when
-    (nearly) every edge is in the window band — a large leftover would pay the
-    gather anyway — and hub structures are not servable by the window reduce.
-    kNN / locality-ordered uniform graphs (the MRConv/EdgeConv shapes) pass;
-    hub-heavy graphs fall back to the segment path."""
+    """Gate for the max/min band route.  Unlike the sum family (whose MXU
+    waste is free), the window reduce pays VPU compares for every
+    (row, window, channel) element, so it only beats the gather when the
+    window is TIGHT: measured on chip at arxiv scale, W=768 / avg-deg 15 runs
+    0.69× of the segment path (scripts/tpu_gat_drive.py) — linear-in-W cost
+    puts break-even near W≈530, so the gate requires window ≤ 256 (the
+    RCM-ordered kNN regime MRConv/EdgeConv actually run in), near-total
+    coverage (a large leftover pays the gather anyway), and no hub
+    structures (not servable by the window reduce)."""
     band = getattr(g, "band", None)
     if band is None:
         return False
@@ -858,6 +865,12 @@ def band_extreme_ok(g, min_coverage: float = 0.98) -> bool:
         from .segment import _miss
         return _miss("band_extreme", "hub structures present (max/min window "
                      "reduce serves the pure window band only)")
+    if f.window > MAX_EXTREME_WINDOW:
+        from .segment import _miss
+        return _miss("band_extreme",
+                     f"window {f.window} > {MAX_EXTREME_WINDOW} (measured "
+                     "0.69x of the segment path at W=768 — the VPU masked "
+                     "reduce only wins on tight windows)")
     if f.coverage < min_coverage:
         from .segment import _miss
         return _miss("band_extreme",

@@ -107,14 +107,14 @@ def main():
         print(f"[gat] {label}: band={tb:.2f}ms csc={tc:.2f}ms "
               f"speedup={tc/tb:.2f}x", file=sys.stderr)
 
-    def g_band(x_, band):
+    def grad_band(x_, band):  # NB: names must not shadow the g_csc Graph
         return jax.grad(f_band_train)(x_, band)
 
-    def g_csc(x_, band):
+    def grad_csc(x_, band):
         return jax.grad(f_csc_train)(x_, band)
 
-    tb = chain(jax, jnp, g_band, x, band_d)
-    tc = chain(jax, jnp, g_csc, x, band_d)
+    tb = chain(jax, jnp, grad_band, x, band_d)
+    tc = chain(jax, jnp, grad_csc, x, band_d)
     print(f"[gat] train fwd+bwd: band={tb:.2f}ms csc={tc:.2f}ms "
           f"speedup={tc/tb:.2f}x", file=sys.stderr)
 
@@ -148,16 +148,16 @@ def main():
     print(f"[max] fwd: band={tb:.2f}ms segment={ts:.2f}ms "
           f"speedup={ts/tb:.2f}x", file=sys.stderr)
 
-    def gb(x_, band):
+    def gmax_band(x_, band):
         return jax.grad(lambda x__: jnp.sum(f_bmax(x__, band).astype(
             jnp.float32)))(x_)
 
-    def gs(x_, band):
+    def gmax_seg(x_, band):
         return jax.grad(lambda x__: jnp.sum(f_smax(x__, band).astype(
             jnp.float32)))(x_)
 
-    tbg = chain(jax, jnp, gb, xb, band_d)
-    tsg = chain(jax, jnp, gs, xb, band_d)
+    tbg = chain(jax, jnp, gmax_band, xb, band_d)
+    tsg = chain(jax, jnp, gmax_seg, xb, band_d)
     print(f"[max] fwd+bwd: band={tbg:.2f}ms segment={tsg:.2f}ms "
           f"speedup={tsg/tbg:.2f}x", file=sys.stderr)
     print("OK", file=sys.stderr)

@@ -288,11 +288,16 @@ def test_band_extreme_gate(rng_np):
     import deep_gcns_torch_tpu.ops.band as band_mod
 
     n = 4 * BN
-    s, r = banded_graph(rng_np, n, 6, 100)
-    g = attach_band(bg(None, s, r, num_nodes=n, node_pad=n), window=512)
+    # sender span per 128-row block = 128 + 2*bw; bw=50 keeps it inside W=256
+    s, r = banded_graph(rng_np, n, 6, 50)
+    g = attach_band(bg(None, s, r, num_nodes=n, node_pad=n), window=256)
     try:
         band_mod._TEST_MODE = True
         assert band_extreme_ok(g) is True
+        # wide windows are gated off (measured 0.69x at W=768 on chip)
+        gwide = attach_band(bg(None, s, r, num_nodes=n, node_pad=n),
+                            window=512)
+        assert band_extreme_ok(gwide) is False
         # hub structures present -> gate off
         sh, rh = powerlaw_graph(rng_np, n, 8)
         gh = attach_band(bg(None, sh, rh, num_nodes=n, node_pad=n),
@@ -315,9 +320,9 @@ def test_mrconv_and_genconv_max_band_route(rng_np):
     from deep_gcns_torch_tpu.graph import attach_band, build_graph as bg
 
     n = 4 * BN
-    s, r = banded_graph(rng_np, n, 6, 120)
+    s, r = banded_graph(rng_np, n, 6, 50)
     x = rng_np.standard_normal((n, 32)).astype(np.float32)
-    g = attach_band(bg(x, s, r, num_nodes=n), window=512)
+    g = attach_band(bg(x, s, r, num_nodes=n), window=256)
     xj = jnp.asarray(np.asarray(g.x))
     try:
         band_mod._TEST_MODE = True
