@@ -1,21 +1,33 @@
-"""Benchmark: DeeperGCN training throughput on the real chip.
+"""Benchmark: DeeperGCN + RevGCN training on the real chip.
 
-Two workloads, one JSON line each (the LAST line is the headline ER metric,
-comparable with BENCH_BASELINE.json):
+JSON lines, in order (the LAST line is the headline ER metric, comparable
+with BENCH_BASELINE.json):
 
-  1. deepergcn28_train_edge_messages_per_s_local — the same model/shapes on a
-     locality-ordered graph (banded, RCM-style order), aggregation routed
-     through the gather-free band-dense kernel (ops/band.py).  This is the
-     framework's answer to the measured 420M rows/s gather wall (ROOFLINE.md):
-     real graphs reach this regime after data/reorder.rcm_order.
-  2. deepergcn28_train_edge_messages_per_s — full train step (fwd+bwd+Adam) of
-     DeeperGCN-28 (GENConv softmax_sg t=0.1, res+, batch-norm — the ogbn-arxiv
-     headline config, `examples/ogb/README.md:34`) on an adversarial ER graph
-     (izes like ogbn-arxiv: 169,343 nodes / ~2.5M directed edges / 128 ch).
+  1. deepergcn28_train_edge_messages_per_s_realistic — DeeperGCN-28 on a
+     REALISTIC hub-heavy power-law community graph (shuffled ids →
+     data/reorder.cluster_order → band with "auto" hub extraction).  The
+     non-idealized proof of the band path (coverage and window printed);
+     metric 2 compares the same graph on the take+CSR gather path.
+  2. deepergcn28_realistic_band_speedup_vs_csr — step-time ratio of the
+     gather path to the band path on that same realistic graph (unit "x").
+  2b. revgat5_train_step_ms — RevGAT-5L (256h × 3 heads, label reuse,
+     edge-drop 0.3) full train step on the same realistic graph through the
+     band GAT route; vs_baseline = CSC-route step / band step.
+  3. revgcn1001x80_peak_hbm_gb — peak device memory of a full RevGCN-1001x80
+     train step at the proteins-cluster shape (13k nodes / 780k edges, edge
+     attrs); vs_baseline is peak(1001)/peak(101) — the O(1)-activation-memory
+     claim of the reversible scan (rev/invertible.py): ≈1.0 means 10x depth
+     at the same peak (the reference logs peak memory per run,
+     `examples/ogb_eff/ogbn_proteins/main.py:212-214`).
+  4. revgcn1001x80_step_ms — step time of that workload.
+  5. deepergcn28_train_edge_messages_per_s_local — idealized uniformly-banded
+     layout (round-3 continuity metric; the band-route ceiling).
+  6. deepergcn28_train_edge_messages_per_s — the adversarial ER headline
+     (worst case: no locality, no band; pure gather floor).
 
-Metric: aggregated edge-messages per second = E_valid × num_layers / step_time —
-the SpMM-rate north star from BASELINE.json. vs_baseline compares against
-BENCH_BASELINE.json {"value": ...} (recorded round 1).
+Throughput metric: aggregated edge-messages per second = E_valid x num_layers
+/ step_time — the SpMM-rate north star from BASELINE.json. vs_baseline (for
+edges/s rows) compares against BENCH_BASELINE.json (recorded round 1).
 """
 
 import json
@@ -90,6 +102,66 @@ def run_workload(jax, jnp, optax, g, labels, L, C, K):
     return best, compile_s, float(loss)
 
 
+def run_revgat_workload(jax, jnp, optax, g, labels_full, iters=3):
+    """RevGAT-5L full train step (label-reuse input, 256h × 3 heads, edge-drop
+    0.3, RMSprop) at arxiv scale — the ogb_eff flagship
+    (`examples/ogb_eff/ogbn_arxiv_dgl/main.py`).  The graph decides the route:
+    band attached → gather-free band GAT (sender-only scores + hash
+    edge-drop), else the fused-CSC pair."""
+    from deep_gcns_torch_tpu.models.rev_gat import RevGAT, RevGATConfig
+    from deep_gcns_torch_tpu.utils.optim import rmsprop
+
+    K = 40
+    cfg = RevGATConfig(in_feats=128 + K, n_classes=K, n_layers=5,
+                       n_hidden=256, n_heads=3, dropout=0.75, input_drop=0.25,
+                       edge_drop=0.3, compute_dtype="bfloat16")
+    model = RevGAT(cfg)
+    p, s = jax.jit(model.init)(jax.random.PRNGKey(0))
+    onehot = jax.nn.one_hot(labels_full, K) * g.node_mask[:, None]
+    x_in = jnp.concatenate([g.x, onehot], axis=1)
+    # linear lr warmup like the app (`main.py:119-122`): torch-exact RMSprop
+    # divides by sqrt(0)+eps on step one, so a cold full-lr start NaNs — the
+    # reference trains with <=50 warmup epochs for exactly this reason.
+    import optax as _optax
+
+    tx = rmsprop(_optax.linear_schedule(0.0, 2e-3, 50))
+    opt = tx.init(p)
+    band = g.band
+    g_const = g.replace(band=None)
+
+    @jax.jit
+    def step(p, opt, band, key):
+        gg = g_const.replace(band=band)
+
+        def lossf(p):
+            logits, _ = model.apply(p, {}, x_in, gg, train=True, rng=key)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits,
+                                                                 labels_full)
+            return jnp.sum(ce * gg.node_mask) / jnp.sum(gg.node_mask)
+
+        loss, gr = jax.value_and_grad(lossf)(p)
+        up, opt2 = tx.update(gr, opt, p)
+        return optax.apply_updates(p, up), opt2, loss
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    p, opt, loss = step(p, opt, band, key)
+    jax.block_until_ready(loss)
+    comp = time.time() - t0
+    best = float("inf")
+    for b in range(2):
+        t0 = time.time()
+        for i in range(iters):
+            key = jax.random.fold_in(key, i)
+            p, opt, loss = step(p, opt, band, key)
+        lv = float(loss)
+        best = min(best, (time.time() - t0) / iters)
+    route = "band" if band is not None else "csc"
+    print(f"[bench:revgat:{route}] compile={comp:.1f}s step={best*1e3:.0f}ms "
+          f"loss={lv:.4f}", file=sys.stderr)
+    return best * 1e3
+
+
 def emit(metric, edges_per_s, baseline):
     vs = edges_per_s / baseline if baseline else 1.0
     print(json.dumps({
@@ -100,10 +172,102 @@ def emit(metric, edges_per_s, baseline):
     }))
 
 
+def emit_raw(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": round(vs, 3)}))
+
+
+def peak_hbm_bytes(jax):
+    """Peak device memory when the runtime exposes it; the axon tunnel
+    returns None from memory_stats(), so fall back to LIVE device-array
+    bytes (params + opt + graph + O(1) reversible activations — the resident
+    set at the step boundary; transients excluded).  The O(1)-vs-depth claim
+    compares this at L=101 vs L=1001: the delta must be the params+optimizer
+    growth alone, with NO activation term."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = int(stats.get("peak_bytes_in_use", 0))
+        if peak:
+            return peak
+    except Exception:
+        pass
+    try:
+        return int(sum(a.nbytes for a in jax.live_arrays()))
+    except Exception:
+        return 0
+
+
+def run_rev_workload(jax, jnp, optax, L, iters=3):
+    """Full RevGCN-L×80 train step at the proteins-cluster shape (13k nodes /
+    780k edges, 8-dim edge attrs, species one-hot input stage) — the RevGNN
+    building block (BASELINE.md rows 7-10).  Returns (ms, peak_hbm_bytes)."""
+    import dataclasses
+
+    from deep_gcns_torch_tpu.data.synthetic import random_node_graph
+    from deep_gcns_torch_tpu.models import RevGCN, RevGCNConfig
+
+    rng = np.random.default_rng(0)
+    g, _ = random_node_graph(rng, 13_000, 60, 8, num_classes=2,
+                             self_loops=False)
+    ea = jnp.asarray(rng.standard_normal((g.num_edges_padded, 8)), jnp.float32)
+    g = dataclasses.replace(g, edge_attr=ea,
+                            edge_attr_csc=jnp.take(ea, g.csc_perm, axis=0))
+    g = jax.device_put(g)
+    labels = jnp.asarray(rng.integers(0, 2, (g.num_nodes_padded, 112))
+                         .astype(np.float32))
+    sp = jax.nn.one_hot(jnp.asarray(rng.integers(0, 8, g.num_nodes_padded)), 8)
+    nf = jnp.asarray(rng.standard_normal((g.num_nodes_padded, 8)), jnp.float32)
+
+    model = RevGCN(RevGCNConfig(
+        in_channels=8, node_feat_dim=8, edge_feat_dim=8, hidden_channels=80,
+        num_tasks=112, num_layers=L, group=2, aggr="softmax", norm="layer",
+        mlp_layers=1, dropout=0.1, conv_encode_edge=True,
+        use_one_hot_encoding=True, compute_dtype="bfloat16"))
+    p, s = jax.jit(model.init)(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    opt = tx.init(p)
+
+    @jax.jit
+    def step(p, s, opt, key):
+        def lossf(p):
+            logits, s2 = model.apply(p, s, sp, g, node_feats=nf, train=True,
+                                     rng=key)
+            bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+            return (jnp.sum(bce * g.node_mask[:, None])
+                    / jnp.sum(g.node_mask) / 112, s2)
+        (l, s2), gr = jax.value_and_grad(lossf, has_aux=True)(p)
+        up, opt2 = tx.update(gr, opt, p)
+        return optax.apply_updates(p, up), s2, opt2, l
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    p, s, opt, loss = step(p, s, opt, key)
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t0
+    best = float("inf")
+    for b in range(2):
+        t0 = time.time()
+        for i in range(iters):
+            key = jax.random.fold_in(key, i)
+            p, s, opt, loss = step(p, s, opt, key)
+        lv = float(loss)  # D2H fetch, tunnel-proof
+        best = min(best, (time.time() - t0) / iters)
+    peak = peak_hbm_bytes(jax)
+    print(f"[bench:rev] L={L} compile={compile_s:.1f}s step={best*1e3:.0f}ms "
+          f"loss={lv:.4f} peak_hbm={peak/2**30:.2f}GiB", file=sys.stderr)
+    return best * 1e3, peak
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    try:  # persistent compile cache: driver re-runs skip the tunnel compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from deep_gcns_torch_tpu.data.synthetic import random_node_graph
     from deep_gcns_torch_tpu.graph import attach_band, build_graph
@@ -117,6 +281,83 @@ def main():
             baseline = json.load(open("BENCH_BASELINE.json")).get("value")
         except Exception:
             baseline = None
+
+    from deep_gcns_torch_tpu.data.reorder import cluster_order, permute_graph
+    from deep_gcns_torch_tpu.data.synthetic import powerlaw_community_edges
+
+    # --- reversible flagship: peak-HBM O(1) vs depth (runs FIRST —
+    # peak_bytes_in_use is cumulative per process, so the readings must not
+    # include the arxiv-scale band buffers of the later workloads) -----------
+    ms101, peak101 = run_rev_workload(jax, jnp, optax, 101)
+    ms1001, peak1001 = run_rev_workload(jax, jnp, optax, 1001)
+    if peak101 and peak1001:
+        ratio = peak1001 / peak101
+        delta_mb = (peak1001 - peak101) / 2**20
+        print(f"[bench:rev] O(1)-activation check: hbm(1001)/hbm(101)="
+              f"{ratio:.3f} at 9.9x depth; delta={delta_mb:.0f}MB = the "
+              f"params+optimizer growth alone (a stored-activation 1001-layer "
+              f"would add ~25GB and not fit the chip)", file=sys.stderr)
+    else:  # runtime exposes no memory accounting — record step times regardless
+        ratio = 0.0
+        print("[bench:rev] no memory accounting on this runtime",
+              file=sys.stderr)
+    emit_raw("revgcn1001x80_peak_hbm_gb", round(peak1001 / 2**30, 3), "GB",
+             ratio)
+    emit_raw("revgcn1001x80_step_ms", round(ms1001, 1), "ms",
+             ms1001 / max(ms101, 1e-9))
+
+    sp_, rp_ = powerlaw_community_edges(rng, N, DEG + 1)
+    perm = cluster_order(sp_, rp_, N, cluster_size=16384)
+    sp_, rp_ = permute_graph(perm, sp_, rp_)
+    xr = rng.standard_normal((N, C)).astype(np.float32)
+    gr_ = build_graph(xr, sp_, rp_, num_nodes=N)
+    gr_ = attach_band(gr_)  # window="auto", hubs="auto"
+    fb_ = gr_.band.fwd
+    labels_r = rng.integers(0, K, N)
+    e_real = int(gr_.n_edge)
+    gr_d = jax.device_put(gr_)
+    lab_r = jnp.asarray(np.pad(labels_r, (0, gr_.num_nodes_padded - N)))
+    dt_rb, comp_rb, loss_rb = run_workload(jax, jnp, optax, gr_d, lab_r, L, C, K)
+    print(f"[bench:realistic-band] compile={comp_rb:.1f}s "
+          f"step={dt_rb*1000:.1f}ms loss={loss_rb:.4f} E={e_real} L={L} "
+          f"window={fb_.window} cov={fb_.coverage:.3f} "
+          f"hub_edges={fb_.n_hub}+{fb_.n_hub_row}", file=sys.stderr)
+    emit("deepergcn28_train_edge_messages_per_s_realistic",
+         e_real * L / dt_rb, baseline)
+    # same graph, gather path (strip the band so convs take take+CSR)
+    gr_csr = jax.device_put(gr_.replace(band=None))
+    dt_rc, comp_rc, loss_rc = run_workload(jax, jnp, optax, gr_csr, lab_r,
+                                           L, C, K)
+    print(f"[bench:realistic-csr] compile={comp_rc:.1f}s "
+          f"step={dt_rc*1000:.1f}ms loss={loss_rc:.4f}", file=sys.stderr)
+    emit_raw("deepergcn28_realistic_band_speedup_vs_csr",
+             round(dt_rc / dt_rb, 3), "x", dt_rc / dt_rb)
+
+    # --- RevGAT-5L flagship: band GAT vs CSC on an app-faithful graph -------
+    # (symmetrized + self-loops like the arxiv pipeline, alpha=0.6 hubs →
+    # max degree ~1.2k, inside the bf16 numeric envelope; the directed
+    # 46k-out-degree stress graph above NaNs the deep reversible backward
+    # under symmetric norm in bf16 on BOTH routes — COMPONENTS.md caveat)
+    from deep_gcns_torch_tpu.graph import add_self_loops, to_undirected
+
+    sg_, rg_ = powerlaw_community_edges(rng, N, 8, alpha=0.6)
+    sg_, rg_ = to_undirected(sg_, rg_)
+    sg_, rg_ = add_self_loops(sg_, rg_, N)
+    permg = cluster_order(sg_, rg_, N, cluster_size=16384)
+    sg_, rg_ = permute_graph(permg, sg_, rg_)
+    xg_ = rng.standard_normal((N, C)).astype(np.float32)
+    gg_ = attach_band(build_graph(xg_, sg_, rg_, num_nodes=N))
+    print(f"[bench:revgat] E={int(gg_.n_edge)} "
+          f"band w={gg_.band.fwd.window} cov={gg_.band.fwd.coverage:.3f}",
+          file=sys.stderr)
+    lab_g = jnp.asarray(np.pad(rng.integers(0, K, N),
+                               (0, gg_.num_nodes_padded - N)))
+    gg_d = jax.device_put(gg_)
+    ms_gat_band = run_revgat_workload(jax, jnp, optax, gg_d, lab_g)
+    gg_csr = jax.device_put(gg_.replace(band=None))
+    ms_gat_csc = run_revgat_workload(jax, jnp, optax, gg_csr, lab_g)
+    emit_raw("revgat5_train_step_ms", round(ms_gat_band, 1), "ms",
+             ms_gat_csc / ms_gat_band)
 
     # --- locality-ordered workload (band-dense route) ------------------------
     s, r = make_banded(rng, N, DEG + 1)  # ~matches the ER graph's E incl. loops
