@@ -101,6 +101,10 @@ def add_spatial_flags(p: argparse.ArgumentParser):
     p.add_argument("--exchange", type=str, default="auto",
                    choices=["auto", "halo", "allgather"],
                    help="spatial source-row exchange strategy")
+    p.add_argument("--tp", type=int, default=1,
+                   help="shard the hidden dim over N devices (tensor "
+                        "parallelism, parallel/tensor.py); composes with "
+                        "--spatial on a 2-D mesh (spatial x tp devices)")
     return p
 
 
@@ -110,12 +114,12 @@ def apply_spatial_env(args):
     run — the flag only multiplies the CPU backend's devices, so it is a no-op
     when an accelerator platform wins, and it saves a CPU-only host from
     hitting the mesh device-count assert when --platform cpu was omitted."""
-    if getattr(args, "spatial", 1) > 1:
+    n_dev = getattr(args, "spatial", 1) * getattr(args, "tp", 1)
+    if n_dev > 1:
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
-                flags
-                + f" --xla_force_host_platform_device_count={args.spatial}"
+                flags + f" --xla_force_host_platform_device_count={n_dev}"
             ).strip()
     return args
 

@@ -9,7 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from spatial_common import run_spatial  # noqa: E402
+from spatial_common import run_spatial, run_spatial_tp  # noqa: E402
 from common import (  # noqa: E402
     EpochTimer, add_deeper_gcn_flags, add_spatial_flags, apply_spatial_env,
     base_parser, make_optimizer, select_platform, setup_experiment)
@@ -99,7 +99,8 @@ def main():
                   "valid": perm[int(0.6 * n): int(0.8 * n)],
                   "test": perm[int(0.8 * n):]}
         in_dim = 128
-        if args.reorder != "none" or args.band != "off" or args.spatial > 1:
+        if (args.reorder != "none" or args.band != "off"
+                or args.spatial > 1 or args.tp > 1):
             # rebuild through the same reorder/band pipeline as real data
             n_edge = int(g.n_edge)
             s = np.asarray(g.senders)[:n_edge]
@@ -107,6 +108,9 @@ def main():
             x_np = np.asarray(g.x)[:n]
             s, r, x_np, labels, splits = _reorder(args, rng, s, r, n, x_np,
                                                   labels, splits)
+            if args.tp > 1:
+                return run_spatial_tp(args, exp, logger, scalars, s, r, x_np,
+                                      labels, splits, in_dim, n)
             if args.spatial > 1:
                 return run_spatial(args, exp, logger, scalars, s, r, x_np,
                                    labels, splits, in_dim, n)
@@ -125,6 +129,9 @@ def main():
         s, r, x_np, labels, splits = _reorder(args, rng, s, r, n0, x_np,
                                               labels, splits)
         in_dim = ds.x.shape[1]
+        if args.tp > 1:
+            return run_spatial_tp(args, exp, logger, scalars, s, r, x_np,
+                                  labels, splits, in_dim, n0)
         if args.spatial > 1:
             return run_spatial(args, exp, logger, scalars, s, r, x_np, labels,
                                splits, in_dim, n0)

@@ -137,6 +137,20 @@ def test_arxiv_spatial_app(tmp_path):
 
 
 @pytest.mark.slow
+def test_arxiv_tensor_parallel_app(tmp_path):
+    """--tp T (and --spatial x --tp 2-D mesh) from the app CLI: channel-
+    sharded training on virtual devices (parallel/spatial_tp.py runner)."""
+    common = ["--synthetic", "--synthetic_nodes", "1024", "--num_layers", "2",
+              "--hidden_channels", "32", "--num_classes", "8",
+              "--exp_root", str(tmp_path)]
+    out = _run("ogbn_arxiv", "main.py", "--epochs", "2", "--tp", "4", *common)
+    assert "gp=1 tp=4" in out and "best valid acc" in out
+    out = _run("ogbn_arxiv", "main.py", "--epochs", "2", "--spatial", "2",
+               "--tp", "2", *common)
+    assert "gp=2 tp=2" in out and "best valid acc" in out
+
+
+@pytest.mark.slow
 def test_proteins_spatial_apps(tmp_path):
     """--spatial N on both proteins apps: exact full-graph training over a
     virtual 4-device mesh (DeeperGCN halo path; RevGCN = reversible scan with
