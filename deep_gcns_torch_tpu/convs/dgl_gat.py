@@ -35,6 +35,13 @@ def _gat_band_ok(g: "Graph") -> bool:
     return band_sum_ok(g)
 
 
+def _gat_dense_ok(g: "Graph") -> bool:
+    """Dense-window route for the dst-score GAT (hub-free band only)."""
+    from ..ops.band import band_gat_dense_ok
+
+    return band_gat_dense_ok(g)
+
+
 def _gat_fused_ok(g: "Graph", packed_width: int) -> bool:
     """Route to the fused attention+SpMM kernel pair when legal on TPU."""
     if g.row_ptr is None or g.csc_col_ptr is None or g.csc_receivers is None:
@@ -128,7 +135,24 @@ class SymGATConv(Module):
         if dropping:
             att_mask = att_mask & (keep_mask > 0)
 
-        if ((not self.use_attn_dst) and (not dropping or drop_spec is not None)
+        if (self.use_attn_dst and (not dropping or drop_spec is not None)
+                and _gat_dense_ok(g)):
+            # dst-score GAT through DENSE IN-WINDOW evaluation: the
+            # [128, W, H] score tensor per receiver block comes from two node
+            # tables, the weighted aggregation is one einsum per block —
+            # no per-edge gather (ops/band.band_gat_dense_agg; hub-free
+            # band required).
+            from ..ops.band import band_gat_dense_agg
+
+            cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                  else feat_src.dtype)
+            num, den = band_gat_dense_agg(feat_src, el, er, g.band,
+                                          self.neg_slope, compute_dtype=cd,
+                                          drop=drop_spec)
+            out = jnp.where((den > 0)[..., None],
+                            num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+        elif ((not self.use_attn_dst)
+                and (not dropping or drop_spec is not None)
                 and _gat_band_ok(g)):
             # gather-free band route: sender-only scores are node-factored, so
             # num/den are one band SpMM of the packed [e·feat | e] table

@@ -742,6 +742,111 @@ def band_gat_agg(feat_src: Array, el: Array, bands: BandPair,
     return num, den
 
 
+def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
+                       bands: BandPair, neg_slope: float = 0.2,
+                       compute_dtype=None,
+                       drop: Optional[DropSpec] = None) -> Tuple[Array, Array]:
+    """Gather-free GAT aggregation for the DST-SCORE case
+    (`use_attn_dst=True`: score_e = leaky_relu(el[send] + er[recv]), per
+    head — NOT additively separable, so the sum factorization of
+    band_gat_agg does not apply).  Served instead by DENSE IN-WINDOW
+    evaluation: per (128-receiver block, window) the [128, W, H] score
+    tensor is computable from two node tables; the weighted aggregation is
+    one einsum per block.  Exact per-receiver stabilization (row max over
+    band ∪ leftover, stop-grad — the shift cancels analytically like
+    segment_softmax's).  VJP via autodiff (pure jnp throughout).
+
+    Requires a HUB-FREE band (build with hubs=None): dense hub-column/row
+    score tensors would be [N, H_hub, H] / [R, N_pad, H] — gate with
+    band_gat_dense_ok.  Off-window edges ride per-edge gathers (small).
+    Returns (num [N, H, D], den [N, H]) f32 — caller divides.
+    """
+    band = bands.fwd
+    assert band.hub_ids is None and band.hub_row_ids is None, \
+        "dense-window GAT needs a hub-free band (attach_band(..., hubs=None))"
+    n, h, d = feat_src.shape
+    w = band.window
+    nb = n // BN
+    cd = compute_dtype or feat_src.dtype
+    neg = jnp.float32(-1e30)
+
+    win_ids = band.w_lo[:, None] + jnp.arange(w)[None, :]          # [nb, w]
+    el_win = jnp.take(el.astype(jnp.float32), win_ids, axis=0)     # [nb, w, h]
+    er_blk = er.astype(jnp.float32).reshape(nb, BN, h)
+    counts = band.a.reshape(nb, BN, w)       # multi-edges weight by count
+    mask = counts > 0
+    if drop is not None:
+        rows = (jnp.arange(n, dtype=jnp.int32).reshape(nb, BN)[:, :, None]
+                + jnp.zeros((1, 1, w), jnp.int32))
+        cols = (band.w_lo[:, None, None]
+                + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+                + jnp.zeros((1, BN, 1), jnp.int32))
+        mask = mask & _hash_keep(rows, cols, drop.k0, drop.k1, drop.thresh)
+    scores = jax.nn.leaky_relu(
+        er_blk[:, :, None, :] + el_win[:, None, :, :], neg_slope)
+    scores = jnp.where(mask[:, :, :, None], scores, neg)   # [nb, BN, w, h]
+    m_band = jnp.max(scores, axis=2)                       # [nb, BN, h]
+
+    # leftover: per-edge (small set), same stabilizer
+    has_lo = band.n_lo > 0
+    if has_lo:
+        lo_s = jnp.minimum(band.lo_src, n - 1)
+        lo_valid = band.lo_dst < n
+        lo_d = jnp.minimum(band.lo_dst, n - 1)
+        s_lo = jax.nn.leaky_relu(
+            jnp.take(el.astype(jnp.float32), lo_s, axis=0)
+            + jnp.take(er.astype(jnp.float32), lo_d, axis=0), neg_slope)
+        keep_lo = lo_valid
+        if drop is not None:
+            keep_lo = keep_lo & _hash_keep(
+                band.lo_dst.astype(jnp.int32), band.lo_src.astype(jnp.int32),
+                drop.k0, drop.k1, drop.thresh)
+        s_lo = jnp.where(keep_lo[:, None], s_lo, neg)
+        m_lo = jax.ops.segment_max(s_lo, lo_d, n, indices_are_sorted=True)
+        m = jnp.maximum(m_band.reshape(n, h), m_lo)
+    else:
+        m = m_band.reshape(n, h)
+    m = jax.lax.stop_gradient(jnp.where(m > neg / 2, m, 0.0))
+
+    e_band = jnp.where(mask[:, :, :, None],
+                       counts[:, :, :, None].astype(jnp.float32)
+                       * jnp.exp(scores - m.reshape(nb, BN, 1, h)), 0.0)
+    den = jnp.sum(e_band, axis=2).reshape(n, h)            # [n, h]
+    feat_win = jnp.take(feat_src.astype(cd), win_ids, axis=0)  # [nb, w, h, d]
+    num = jnp.einsum("bnwh,bwhd->bnhd", e_band.astype(cd), feat_win,
+                     preferred_element_type=jnp.float32)
+    num = num.reshape(n, h, d).astype(jnp.float32)
+
+    if has_lo:
+        e_lo = jnp.where(keep_lo[:, None], jnp.exp(
+            s_lo - jnp.take(m, lo_d, axis=0)), 0.0)
+        den = den + jax.ops.segment_sum(e_lo, lo_d, n, indices_are_sorted=True)
+        msg_lo = (e_lo[:, :, None].astype(cd)
+                  * jnp.take(feat_src.astype(cd), lo_s, axis=0))
+        num = num + jax.ops.segment_sum(
+            msg_lo.astype(jnp.float32), lo_d, n, indices_are_sorted=True)
+    return num, den
+
+
+def band_gat_dense_ok(g, min_coverage: float = 0.5) -> bool:
+    """Gate for the dense-window dst-score GAT route: a HUB-FREE band with
+    enough window coverage (hub tensors are not dense-score servable)."""
+    band = getattr(g, "band", None)
+    if band is None:
+        return False
+    f = band.fwd
+    if f.hub_ids is not None or f.hub_row_ids is not None:
+        from .segment import _miss
+        return _miss("band_gat_dense", "hub structures present (dense "
+                     "in-window scores serve the pure window band only — "
+                     "attach_band(..., hubs=None))")
+    if f.coverage < min_coverage:
+        from .segment import _miss
+        return _miss("band_gat_dense",
+                     f"band coverage {f.coverage:.2f} < {min_coverage}")
+    return _band_platform_ok()
+
+
 def band_sum_auto(x: Array, bands: BandPair, interpret: bool = False,
                   drop: Optional[DropSpec] = None) -> Array:
     """Lane-padding wrapper over ``band_spmm``: out[r] = Σ_{e: recv=r} x[send_e]

@@ -148,3 +148,48 @@ def test_drop_spec_statistics_and_determinism(rng_np):
     assert (k1 != k3).mean() > 0.2
     assert make_edge_drop(jax.random.PRNGKey(0), 0.0) is None
     assert drop_key_bits(jax.random.PRNGKey(5)).shape == (2,)
+
+
+def test_symgat_dense_dst_score_matches_segment_path(rng_np):
+    """use_attn_dst=True through DENSE in-window score evaluation: fwd +
+    grads match the segment path, incl. sym-norm/residual and hash edge-drop
+    (hub-free band)."""
+    n = 512
+    s = rng_np.integers(0, n, n * 6)
+    r = np.clip(s + rng_np.integers(-80, 81, n * 6), 0, n - 1)
+    x = rng_np.standard_normal((n, 32)).astype(np.float32)
+    g = attach_band(build_graph(x, s, r, num_nodes=n), window=256, hubs=None)
+    assert g.band.fwd.hub_ids is None
+    conv = SymGATConv(32, 16, num_heads=3, use_attn_dst=True,
+                      use_symmetric_norm=True, residual=True, edge_drop=0.4)
+    params, _ = conv.init(jax.random.PRNGKey(0))
+    xj = jnp.asarray(np.asarray(g.x))
+
+    from deep_gcns_torch_tpu.ops.band import drop_key_bits
+    dk = drop_key_bits(jax.random.PRNGKey(3))
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 3, 16))
+                     .astype(np.float32))
+
+    for kwargs in ({}, {"train": True, "drop_key": dk}):
+        def loss(p, x_, graph):
+            out, _ = conv.apply(p, {}, x_, graph, **kwargs)
+            return jnp.sum(out * co)
+
+        l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xj, g)
+        l2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(
+            params, xj, g.replace(band=None))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=4e-3, atol=4e-4)
+
+
+def test_dense_dst_gate_requires_hub_free(rng_np):
+    from deep_gcns_torch_tpu.ops.band import band_gat_dense_ok
+
+    g = make_graph(rng_np, hubby=True)  # hub structures present
+    assert g.band.fwd.hub_ids is not None
+    assert band_gat_dense_ok(g) is False
+    g2 = make_graph(rng_np, hubby=False)
+    assert band_gat_dense_ok(g2) is True
