@@ -770,24 +770,7 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
     cd = compute_dtype or feat_src.dtype
     neg = jnp.float32(-1e30)
 
-    win_ids = band.w_lo[:, None] + jnp.arange(w)[None, :]          # [nb, w]
-    el_win = jnp.take(el.astype(jnp.float32), win_ids, axis=0)     # [nb, w, h]
-    er_blk = er.astype(jnp.float32).reshape(nb, BN, h)
-    counts = band.a.reshape(nb, BN, w)       # multi-edges weight by count
-    mask = counts > 0
-    if drop is not None:
-        rows = (jnp.arange(n, dtype=jnp.int32).reshape(nb, BN)[:, :, None]
-                + jnp.zeros((1, 1, w), jnp.int32))
-        cols = (band.w_lo[:, None, None]
-                + jnp.arange(w, dtype=jnp.int32)[None, None, :]
-                + jnp.zeros((1, BN, 1), jnp.int32))
-        mask = mask & _hash_keep(rows, cols, drop.k0, drop.k1, drop.thresh)
-    scores = jax.nn.leaky_relu(
-        er_blk[:, :, None, :] + el_win[:, None, :, :], neg_slope)
-    scores = jnp.where(mask[:, :, :, None], scores, neg)   # [nb, BN, w, h]
-    m_band = jnp.max(scores, axis=2)                       # [nb, BN, h]
-
-    # leftover: per-edge (small set), same stabilizer
+    # leftover first: its per-receiver max joins the stabilizer
     has_lo = band.n_lo > 0
     if has_lo:
         lo_s = jnp.minimum(band.lo_src, n - 1)
@@ -803,26 +786,69 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
                 drop.k0, drop.k1, drop.thresh)
         s_lo = jnp.where(keep_lo[:, None], s_lo, neg)
         m_lo = jax.ops.segment_max(s_lo, lo_d, n, indices_are_sorted=True)
-        m = jnp.maximum(m_band.reshape(n, h), m_lo)
     else:
-        m = m_band.reshape(n, h)
-    m = jax.lax.stop_gradient(jnp.where(m > neg / 2, m, 0.0))
+        m_lo = jnp.full((n, h), neg)
 
-    e_band = jnp.where(mask[:, :, :, None],
-                       counts[:, :, :, None].astype(jnp.float32)
-                       * jnp.exp(scores - m.reshape(nb, BN, 1, h)), 0.0)
-    den = jnp.sum(e_band, axis=2).reshape(n, h)            # [n, h]
-    feat_win = jnp.take(feat_src.astype(cd), win_ids, axis=0)  # [nb, w, h, d]
-    num = jnp.einsum("bnwh,bwhd->bnhd", e_band.astype(cd), feat_win,
-                     preferred_element_type=jnp.float32)
-    num = num.reshape(n, h, d).astype(jnp.float32)
+    # band side: chunked scan over receiver blocks — the [cb·BN, w, h] score
+    # tensor only ever lives per chunk, and jax.checkpoint recomputes it in
+    # the backward (unchunked autodiff residuals measured 22GB at arxiv
+    # scale; per-chunk they are ~10MB)
+    cb = 1
+    for cand in (16, 8, 4, 2):
+        if nb % cand == 0:
+            cb = cand
+            break
+    elf = el.astype(jnp.float32)
+    erf = er.astype(jnp.float32)
+    featc = feat_src.astype(cd)
+    w_lo_c = band.w_lo.reshape(nb // cb, cb)
+    counts_c = band.a.reshape(nb // cb, cb, BN, w)
+    roff = jnp.arange(nb * BN, dtype=jnp.int32).reshape(nb // cb, cb, BN)
+
+    def chunk(carry, inp):
+        w_lo_k, counts_k, rows_k = inp    # [cb], [cb, BN, w], [cb, BN]
+        win_ids = w_lo_k[:, None] + jnp.arange(w)[None, :]       # [cb, w]
+        el_win = jnp.take(elf, win_ids, axis=0)                  # [cb, w, h]
+        er_blk = jnp.take(erf, rows_k.reshape(-1), axis=0
+                          ).reshape(cb, BN, h)
+        mask = counts_k > 0
+        if drop is not None:
+            cols = (w_lo_k[:, None, None]
+                    + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+                    + jnp.zeros((1, BN, 1), jnp.int32))
+            rows3 = rows_k[:, :, None] + jnp.zeros((1, 1, w), jnp.int32)
+            mask = mask & _hash_keep(rows3, cols, drop.k0, drop.k1,
+                                     drop.thresh)
+        scores = jax.nn.leaky_relu(
+            er_blk[:, :, None, :] + el_win[:, None, :, :], neg_slope)
+        scores = jnp.where(mask[:, :, :, None], scores, neg)  # [cb,BN,w,h]
+        m_band = jnp.max(scores, axis=2)                      # [cb, BN, h]
+        m_lo_k = jnp.take(m_lo, rows_k.reshape(-1), axis=0
+                          ).reshape(cb, BN, h)
+        m = jax.lax.stop_gradient(jnp.where(
+            jnp.maximum(m_band, m_lo_k) > neg / 2,
+            jnp.maximum(m_band, m_lo_k), 0.0))                # [cb, BN, h]
+        e_band = jnp.where(mask[:, :, :, None],
+                           counts_k[:, :, :, None].astype(jnp.float32)
+                           * jnp.exp(scores - m[:, :, None, :]), 0.0)
+        den_k = jnp.sum(e_band, axis=2)                       # [cb, BN, h]
+        feat_win = jnp.take(featc, win_ids, axis=0)           # [cb, w, h, d]
+        num_k = jnp.einsum("bnwh,bwhd->bnhd", e_band.astype(cd), feat_win,
+                           preferred_element_type=jnp.float32)
+        return carry, (num_k.astype(jnp.float32), den_k, m)
+
+    _, (num, den, m_all) = jax.lax.scan(jax.checkpoint(chunk), None,
+                                        (w_lo_c, counts_c, roff))
+    num = num.reshape(n, h, d)
+    den = den.reshape(n, h)
+    m = m_all.reshape(n, h)
 
     if has_lo:
         e_lo = jnp.where(keep_lo[:, None], jnp.exp(
             s_lo - jnp.take(m, lo_d, axis=0)), 0.0)
         den = den + jax.ops.segment_sum(e_lo, lo_d, n, indices_are_sorted=True)
         msg_lo = (e_lo[:, :, None].astype(cd)
-                  * jnp.take(feat_src.astype(cd), lo_s, axis=0))
+                  * jnp.take(featc, lo_s, axis=0))
         num = num + jax.ops.segment_sum(
             msg_lo.astype(jnp.float32), lo_d, n, indices_are_sorted=True)
     return num, den
