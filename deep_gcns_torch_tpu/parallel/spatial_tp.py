@@ -34,7 +34,7 @@ from ..models.deeper_gcn import DeeperGCN, DeeperGCNConfig
 from ..nn.core import dropout
 from ..ops.segment import generalized_aggregate
 from .spatial import SpatialShards, exchange_sources
-from .tensor import check_tp_supported
+from .tensor import check_tp_supported, tp_mlp_apply
 
 Array = jax.Array
 
@@ -73,13 +73,6 @@ class SpatialTPDeeperGCN:
             msg, my.receivers, S, aggr=self.cfg.aggr, t=t, p=p_, y=y_,
             learn_t=gcn.learn_t, mask=my.edge_mask, row_ptr=my.row_ptr)
 
-    def _mlp_psum_scatter(self, wp, h2):
-        lw = wp[0]["lin"]
-        partial = h2 @ lw["w"]
-        y = jax.lax.psum_scatter(partial, self.tp, scatter_dimension=1,
-                                 tiled=True)
-        return y + lw["b"]
-
     def apply_sharded(self, params, state, x_local, sh: SpatialShards, *,
                       train: bool = False, rng: Optional[Array] = None):
         """Inside shard_map: params/state are this device's CHANNEL slices
@@ -105,9 +98,13 @@ class SpatialTPDeeperGCN:
         def slice_l(tree, i):
             return jax.tree_util.tree_map(lambda a: a[i], tree)
 
-        def gcn_block(gp_params, h2):
+        def gcn_block(gp_params, ws, h2):
             m = self._aggregate(gp_params, h2, sh, my, S)
-            return self._mlp_psum_scatter(gp_params["mlp"], h2 + m)
+            # the MLP's inter-layer BatchNorm reduces over GLOBAL nodes →
+            # cross-replica stats over "gp"; channels stay shard-local
+            return tp_mlp_apply(cfg, self.tp, gp_params["mlp"], ws, h2 + m,
+                                train=train, mask=my.node_mask,
+                                bn_axis=self.gp)
 
         def gcn_params(i):
             gp_params = {"mlp": slice_l(params["gcns"]["mlp"], i)}
@@ -116,7 +113,7 @@ class SpatialTPDeeperGCN:
                     gp_params[k] = params["gcns"][k][i]
             return gp_params
 
-        h = gcn_block(gcn_params(0), h)
+        h, ws0 = gcn_block(gcn_params(0), slice_l(state["gcns"]["mlp"], 0), h)
 
         def body(carry, i):
             h = carry
@@ -130,11 +127,13 @@ class SpatialTPDeeperGCN:
                                                 axis_name=self.gp)
             h2 = jax.nn.relu(h1)
             h2 = dropout(h2, cfg.dropout, train=train, rng=layer_rng(i))
-            res = gcn_block(gcn_params(i), h2)
-            return h + res, ns_out
+            res, ws_out = gcn_block(gcn_params(i),
+                                    slice_l(state["gcns"]["mlp"], i), h2)
+            return h + res, (ns_out, ws_out)
 
         body_fn = jax.checkpoint(body) if cfg.remat else body
-        h, norm_states = jax.lax.scan(body_fn, h, jnp.arange(1, L))
+        h, (norm_states, mlp_states) = jax.lax.scan(body_fn, h,
+                                                    jnp.arange(1, L))
 
         npL = slice_l(params["norms"], L - 1)
         nsL = slice_l(state["norms"], L - 1)
@@ -150,7 +149,9 @@ class SpatialTPDeeperGCN:
             h @ params["pred"]["w"] + params["pred"]["b"] / t_sz, self.tp)
 
         new_state = {
-            "gcns": state["gcns"],
+            "gcns": {"mlp": jax.tree_util.tree_map(
+                lambda first, rest: jnp.concatenate([first[None], rest], 0),
+                ws0, mlp_states)},
             "norms": jax.tree_util.tree_map(
                 lambda rest, last: jnp.concatenate([rest, last[None]], 0),
                 norm_states, nsL_out),

@@ -62,7 +62,12 @@ def _rep(a, t):
 
 def check_tp_supported(cfg: DeeperGCNConfig):
     assert cfg.block == "res+", "TP v1 covers the res+ flagship block"
-    assert cfg.mlp_layers == 1, "TP v1 covers mlp_layers=1 (the arxiv config)"
+    assert cfg.mlp_layers in (1, 2), "TP covers mlp_layers 1 (arxiv) and 2 (ogbg)"
+    # every norm under TP runs on the channel shard: BatchNorm is per-channel
+    # (stats over nodes — local, or psum over the node axis on a 2-D mesh);
+    # LayerNorm reduces ACROSS channels and would need a tp psum — not wired
+    assert cfg.norm in ("batch", "none"), (
+        f"TP needs a per-channel norm (batch/none), got {cfg.norm!r}")
     assert not cfg.msg_norm, "msg_norm mixes channels (needs a psum) — off in v1"
     assert cfg.aggr in ("softmax", "softmax_sg", "softmax_sum", "add", "sum",
                         "mean", "power", "power_sum", "max", "min")
@@ -81,19 +86,23 @@ def shard_deeper_params(params, state, t: int, cfg: DeeperGCNConfig):
         # head: row-parallel (input sharded), bias added post-psum, replicated
         "pred": {"w": _split(params["pred"]["w"], t, 0),
                  "b": _rep(params["pred"]["b"], t)},
-        # update MLP: row-parallel weight (in-shard on axis 1 of [L, C, C]),
-        # bias on the psum_scatter'd output shard (axis 2)
-        "gcns": {"mlp": [{"lin": {
-            "w": _split(params["gcns"]["mlp"][0]["lin"]["w"], t, 1),
-            "b": _split(params["gcns"]["mlp"][0]["lin"]["b"], t, 1),
-        }}]},
+        # update MLP: each Linear is row-parallel (input-sharded on axis 1 of
+        # [L, Cin, Cout]); biases and any inter-layer norm live on the
+        # psum_scatter'd OUTPUT shard (axis 2 / channel axis)
+        "gcns": {"mlp": [
+            jax.tree_util.tree_map(lambda a: _split(a, t, 1), layer)
+            for layer in params["gcns"]["mlp"]
+        ]},
         "norms": jax.tree_util.tree_map(lambda a: _split(a, t, 1),
                                         params["norms"]),
     }
     for k in ("t", "p", "y"):
         if k in params["gcns"]:
             p["gcns"][k] = _rep(params["gcns"][k], t)
-    s = {"gcns": jax.tree_util.tree_map(lambda a: _rep(a, t), state["gcns"]),
+    # gcn state = the MLP's inter-layer norm stats [L, channels] (empty for
+    # mlp_layers=1) — channel-sharded like its params
+    s = {"gcns": jax.tree_util.tree_map(lambda a: _split(a, t, 1),
+                                        state["gcns"]),
          "norms": jax.tree_util.tree_map(lambda a: _split(a, t, 1),
                                          state["norms"])}
     return p, s
@@ -110,23 +119,50 @@ def unshard_deeper_params(params_tp, state_tp):
                     "b": cat(0)(params_tp["encoder"]["b"])},
         "pred": {"w": cat(0)(params_tp["pred"]["w"]),
                  "b": np.asarray(params_tp["pred"]["b"])[0]},
-        "gcns": {"mlp": [{"lin": {
-            "w": cat(1)(params_tp["gcns"]["mlp"][0]["lin"]["w"]),
-            "b": cat(1)(params_tp["gcns"]["mlp"][0]["lin"]["b"]),
-        }}]},
+        "gcns": {"mlp": [jax.tree_util.tree_map(cat(1), layer)
+                         for layer in params_tp["gcns"]["mlp"]]},
         "norms": jax.tree_util.tree_map(cat(1), params_tp["norms"]),
     }
     for k in ("t", "p", "y"):
         if k in params_tp["gcns"]:
             p["gcns"][k] = np.asarray(params_tp["gcns"][k])[0]
-    s = {"gcns": jax.tree_util.tree_map(lambda a: np.asarray(a)[0],
-                                        state_tp["gcns"]),
+    s = {"gcns": jax.tree_util.tree_map(cat(1), state_tp["gcns"]),
          "norms": jax.tree_util.tree_map(cat(1), state_tp["norms"])}
     return p, s
 
 
+def tp_mlp_apply(cfg, tp_axis: str, wp, ws, h2, *, train=False, mask=None,
+                 bn_axis=None):
+    """Row-parallel GENConv update MLP on the channel shard: every Linear's
+    input is sharded, so each matmul computes a full-width partial and ONE
+    `psum_scatter` returns to the output shard; the inter-layer norm (batch:
+    per-channel → local; cross-replica over ``bn_axis`` when nodes are also
+    sharded) and relu mirror nn.core.MLP's lin → norm → act order.
+    Returns (out, new_state) with the MLP's norm-state list."""
+    from ..nn.core import make_norm
+
+    n_lay = len(wp)
+    h = h2
+    new_ws = []
+    for i, layer in enumerate(wp):
+        lw = layer["lin"]
+        h = jax.lax.psum_scatter(h @ lw["w"], tp_axis, scatter_dimension=1,
+                                 tiled=True) + lw["b"]
+        sentry = {}
+        if i < n_lay - 1:  # hidden layer (last_lin=True ⇒ bare final Linear)
+            if "norm" in layer:
+                nrm = make_norm(cfg.norm, h.shape[1])
+                lstate = (ws[i] if ws is not None and len(ws) > i else {})
+                h, ns = nrm.apply(layer["norm"], lstate.get("norm", {}), h,
+                                  train=train, mask=mask, axis_name=bn_axis)
+                sentry["norm"] = ns
+            h = jax.nn.relu(h)
+        new_ws.append(sentry)
+    return h, new_ws
+
+
 class TPDeeperGCN:
-    """Channel-parallel twin of models.DeeperGCN (res+, mlp_layers=1)."""
+    """Channel-parallel twin of models.DeeperGCN (res+, mlp_layers ≤ 2)."""
 
     def __init__(self, cfg: DeeperGCNConfig, axis: str = "tp"):
         check_tp_supported(cfg)
@@ -162,14 +198,11 @@ class TPDeeperGCN:
             msg, g.receivers, n, aggr=cfg.aggr, t=t, p=p_, y=y_,
             learn_t=gcn.learn_t, mask=g.edge_mask, row_ptr=g.row_ptr)
 
-    def _mlp_psum_scatter(self, wp, h2):
-        """Row-parallel update MLP: partial [N, C] matmul on the local shard,
-        ONE psum_scatter back to [N, C/T] (the layer's only collective)."""
-        lw = wp[0]["lin"]
-        partial = h2 @ lw["w"]                      # [N, C_full] partial sums
-        y = jax.lax.psum_scatter(partial, self.axis, scatter_dimension=1,
-                                 tiled=True)
-        return y + lw["b"]
+    def _mlp_psum_scatter(self, wp, h2, ws=None, train=False, mask=None,
+                          bn_axis=None):
+        out, _ = tp_mlp_apply(self.cfg, self.axis, wp, ws, h2, train=train,
+                              mask=mask, bn_axis=bn_axis)
+        return out
 
     def apply_local(self, params, state, x, g: Graph, *, train=False,
                     rng: Optional[Array] = None):
@@ -192,16 +225,16 @@ class TPDeeperGCN:
         def slice_l(tree, i):
             return jax.tree_util.tree_map(lambda a: a[i], tree)
 
-        def gcn_block(gp, h2):
+        def gcn_block(gp, ws, h2):
             m = self._gcn_aggregate(gp, h2, g)
-            return self._mlp_psum_scatter(gp["mlp"], h2 + m)
+            return tp_mlp_apply(cfg, self.axis, gp["mlp"], ws, h2 + m,
+                                train=train, mask=g.node_mask)
 
         gp0 = {**slice_l({"mlp": params["gcns"]["mlp"]}, 0)}
         for k in ("t", "p", "y"):
             if k in params["gcns"]:
                 gp0[k] = params["gcns"][k][0]
-        h = gcn_block(gp0, h)
-        gcn_states = state["gcns"]
+        h, ws0 = gcn_block(gp0, slice_l(state["gcns"]["mlp"], 0), h)
 
         def body(carry, i):
             h = carry
@@ -215,11 +248,15 @@ class TPDeeperGCN:
             for k in ("t", "p", "y"):
                 if k in params["gcns"]:
                     gp[k] = params["gcns"][k][i]
-            res = gcn_block(gp, h2)
-            return h + res, ns_out
+            res, ws_out = gcn_block(gp, slice_l(state["gcns"]["mlp"], i), h2)
+            return h + res, (ns_out, ws_out)
 
         body_fn = jax.checkpoint(body) if cfg.remat else body
-        h, norm_states = jax.lax.scan(body_fn, h, jnp.arange(1, L))
+        h, (norm_states, mlp_states) = jax.lax.scan(body_fn, h,
+                                                    jnp.arange(1, L))
+        gcn_states = {"mlp": jax.tree_util.tree_map(
+            lambda first, rest: jnp.concatenate([first[None], rest], 0),
+            ws0, mlp_states)}
 
         npL = slice_l(params["norms"], L - 1)
         nsL = slice_l(state["norms"], L - 1)

@@ -119,8 +119,71 @@ def test_tp_shard_roundtrip(rng_np):
 def test_tp_rejects_unsupported_configs(rng_np):
     _, cfg = setup(rng_np)
     with pytest.raises(AssertionError):
-        TPDeeperGCN(dataclasses.replace(cfg, mlp_layers=2))
+        TPDeeperGCN(dataclasses.replace(cfg, mlp_layers=3))
+    with pytest.raises(AssertionError):
+        # mlp_layers=2 with LayerNorm inside the MLP needs cross-channel stats
+        TPDeeperGCN(dataclasses.replace(cfg, mlp_layers=2, norm="layer"))
     with pytest.raises(AssertionError):
         TPDeeperGCN(dataclasses.replace(cfg, block="res"))
     with pytest.raises(AssertionError):
         TPDeeperGCN(dataclasses.replace(cfg, msg_norm=True))
+
+
+def test_tp_mlp2_forward_and_step_match(rng_np):
+    """mlp_layers=2 (the ogbg config shape): the Megatron-style two-matmul
+    MLP with its inter-layer BatchNorm on the channel shard — forward and one
+    SGD step match the single chip, running BN stats included."""
+    g, cfg = setup(rng_np)
+    cfg = dataclasses.replace(cfg, mlp_layers=2)
+    single = DeeperGCN(cfg)
+    params, state = jax.jit(single.init)(jax.random.PRNGKey(0))
+    want, st_want = single.apply(params, state, g.x, g, train=True,
+                                 rng=jax.random.PRNGKey(1))
+
+    model = TPDeeperGCN(cfg)
+    p_tp, s_tp = shard_deeper_params(
+        jax.tree_util.tree_map(np.asarray, params),
+        jax.tree_util.tree_map(np.asarray, state), N_DEV, cfg)
+    p_tp = jax.tree_util.tree_map(jnp.asarray, p_tp)
+    s_tp = jax.tree_util.tree_map(jnp.asarray, s_tp)
+    mesh = make_mesh(("tp",), devices=jax.devices()[:N_DEV])
+    labels = jnp.asarray(rng_np.integers(0, 8, g.num_nodes_padded))
+    tx = optax.sgd(0.05)
+
+    def loss_fn(logits, lab, mask):
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, lab[:, None], 1)[:, 0]
+        m = mask.astype(nll.dtype)
+        return jnp.sum(nll * m) / jnp.sum(m)
+
+    step = tp_train_step(model, tx, loss_fn, mesh)
+    p2, s2, _, loss = step(p_tp, s_tp, tx.init(p_tp), g.x, g, labels,
+                           jax.random.PRNGKey(1))
+
+    def loss_single(p):
+        logits, s_out = single.apply(p, state, g.x, g, train=True,
+                                     rng=jax.random.PRNGKey(1))
+        return loss_fn(logits, labels, g.node_mask), s_out
+
+    (l_want, st_out), grads = jax.value_and_grad(loss_single,
+                                                 has_aux=True)(params)
+    up, _ = tx.update(grads, tx.init(params), params)
+    p_want = jax.tree_util.tree_map(np.asarray, optax.apply_updates(params, up))
+    np.testing.assert_allclose(float(loss), float(l_want), rtol=1e-5)
+
+    p2_un, s2_un = unshard_deeper_params(
+        jax.tree_util.tree_map(np.asarray, p2),
+        jax.tree_util.tree_map(np.asarray, s2))
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p2_un)[0],
+            jax.tree_util.tree_flatten_with_path(p_want)[0]):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=str(k1))
+    # BN running stats (incl. the MLP's inter-layer norm) match the
+    # single-chip update
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s2_un)[0],
+            jax.tree_util.tree_flatten_with_path(
+                jax.tree_util.tree_map(np.asarray, st_out))[0]):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=str(k1))
