@@ -15,8 +15,9 @@ The two axes shard DIFFERENT dimensions, so they compose cleanly on a
 Parameters are channel-sharded with `tensor.shard_deeper_params` (the same
 single-chip pytree — init a models.DeeperGCN, shard once, run on the mesh);
 node arrays are sharded with `spatial.shard_graph`/`shard_nodes` exactly as
-in the 1-D spatial runner.  Scope mirrors TPDeeperGCN v1: res+, linear
-encoder, mlp_layers=1, no virtual node / one-hot / msg_norm.  Oracle:
+in the 1-D spatial runner.  Scope mirrors TPDeeperGCN: res+, linear
+encoder, mlp_layers ≤ 2, per-channel norms, no virtual node / one-hot /
+msg_norm.  Oracle:
 forward and one SGD step equal the single-chip model
 (tests/test_spatial_tp.py).  The reference has no multi-GPU training at all.
 """

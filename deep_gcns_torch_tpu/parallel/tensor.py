@@ -42,7 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..graph import Graph
 from ..models.deeper_gcn import DeeperGCN, DeeperGCNConfig
 from ..nn.core import dropout
-from ..ops.segment import generalized_aggregate, segment_degree
+from ..ops.segment import generalized_aggregate
 
 Array = jax.Array
 
