@@ -23,7 +23,9 @@ single-chip pytree host-side into per-device slices stacked on a leading
 axis, so `init either way` interop with models.DeeperGCN holds (slice →
 stack round-trips; oracle tests in tests/test_tensor_parallel.py).
 
-Scope (v1): block="res+", linear node encoder, mlp_layers=1, no virtual
+Scope: block="res+", linear node encoder, mlp_layers ≤ 2 (the two-matmul
+MLP is the Megatron column→row pair, one psum_scatter per matmul),
+per-channel norms only (LayerNorm reduces across channels), no virtual
 node / one-hot / msg_norm (msg_norm's L2 runs across channels and would
 need a psum — assert-gated, not silently wrong).  The reference has no TP
 at all; SURVEY §2.7 lists it as the optional axis.
