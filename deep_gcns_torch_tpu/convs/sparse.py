@@ -382,9 +382,40 @@ class GATConv(Module):
         s_dst = jnp.einsum("nhd,hd->nh", xt, a_l)  # α-term of the center i
         s_src = jnp.einsum("nhd,hd->nh", xt, a_r)  # α-term of the neighbor j
         emask = _no_self_mask(g)
+        self_score = jax.nn.leaky_relu(s_dst + s_src, self.neg_slope)  # [N, H]
+
+        from ..ops.band import band_gat_dense_ok
+
+        if band_gat_dense_ok(g):
+            # dst+src scores through DENSE in-window evaluation (the score is
+            # not additively separable): neighbors ∪ {one self} exactly —
+            # explicit self edges in the band are cancelled analytically
+            # (ops/band.band_gat_dense_agg self_count weighting).
+            from ..ops.band import band_gat_dense_agg
+
+            c_self = jax.ops.segment_sum(
+                (g.edge_mask & (g.senders == g.receivers)).astype(jnp.float32),
+                jnp.minimum(g.receivers, n - 1), n, indices_are_sorted=True)
+            num, den = band_gat_dense_agg(
+                xt, s_src, s_dst, g.band, self.neg_slope,
+                self_score=self_score, self_feat=xt, self_count=c_self)
+            out = (num / jnp.maximum(den, 1e-16)[..., None]).astype(x.dtype)
+            out = out.reshape(n, h * d)
+            if self.bias:
+                out = out + params["b"]
+            if self.act is not None and str(self.act).lower() != "none":
+                out = activation(self.act, out, prelu=params.get("prelu"))
+            nrm = make_norm(self.norm, h * d)
+            new_state = dict(state)
+            if nrm is not None:
+                out, ns = nrm.apply(params["norm"], state["norm"], out,
+                                    train=train, mask=g.node_mask,
+                                    axis_name=axis_name)
+                new_state["norm"] = ns
+            return out, new_state
+
         e_score = jax.nn.leaky_relu(
             gather(s_dst, g.receivers) + gather(s_src, g.senders), self.neg_slope)
-        self_score = jax.nn.leaky_relu(s_dst + s_src, self.neg_slope)  # [N, H]
 
         # softmax over neighbors ∪ {self}: stabilize with combined max
         seg_max = jax.ops.segment_max(jnp.where(emask[:, None], e_score, -jnp.inf),

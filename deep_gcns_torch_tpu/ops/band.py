@@ -745,7 +745,11 @@ def band_gat_agg(feat_src: Array, el: Array, bands: BandPair,
 def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
                        bands: BandPair, neg_slope: float = 0.2,
                        compute_dtype=None,
-                       drop: Optional[DropSpec] = None) -> Tuple[Array, Array]:
+                       drop: Optional[DropSpec] = None,
+                       self_score: Optional[Array] = None,
+                       self_feat: Optional[Array] = None,
+                       self_count: Optional[Array] = None
+                       ) -> Tuple[Array, Array]:
     """Gather-free GAT aggregation for the DST-SCORE case
     (`use_attn_dst=True`: score_e = leaky_relu(el[send] + er[recv]), per
     head — NOT additively separable, so the sum factorization of
@@ -760,10 +764,19 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
     score tensors would be [N, H_hub, H] / [R, N_pad, H] — gate with
     band_gat_dense_ok.  Off-window edges ride per-edge gathers (small).
     Returns (num [N, H, D], den [N, H]) f32 — caller divides.
+
+    PyG-1.x self-loop semantics (`convs/sparse.GATConv`): pass
+    ``self_score`` [N, H], ``self_feat`` [N, H, D] and ``self_count`` [N]
+    (# explicit self edges per node) — the softmax then runs over
+    neighbors ∪ {exactly one self term}: the band/leftover contributions of
+    explicit self edges are cancelled by a (1 − self_count) weighting of
+    the analytic self term, which also joins the stabilizer.
     """
     band = bands.fwd
     assert band.hub_ids is None and band.hub_row_ids is None, \
         "dense-window GAT needs a hub-free band (attach_band(..., hubs=None))"
+    assert self_score is None or drop is None, \
+        "self-loop semantics + edge-drop not composed (PyG GATConv has no drop)"
     n, h, d = feat_src.shape
     w = band.window
     nb = n // BN
@@ -788,6 +801,8 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
         m_lo = jax.ops.segment_max(s_lo, lo_d, n, indices_are_sorted=True)
     else:
         m_lo = jnp.full((n, h), neg)
+    if self_score is not None:
+        m_lo = jnp.maximum(m_lo, self_score.astype(jnp.float32))
 
     # band side: chunked scan over receiver blocks — the [cb·BN, w, h] score
     # tensor only ever lives per chunk, and jax.checkpoint recomputes it in
@@ -851,6 +866,13 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
                   * jnp.take(featc, lo_s, axis=0))
         num = num + jax.ops.segment_sum(
             msg_lo.astype(jnp.float32), lo_d, n, indices_are_sorted=True)
+    if self_score is not None:
+        # neighbors ∪ {one self}: the analytic self term weighted (1 − c_self)
+        # cancels any explicit self edges counted in the band/leftover above
+        e_self = jnp.exp(self_score.astype(jnp.float32) - m)
+        coef = (1.0 - self_count.astype(jnp.float32))[:, None]
+        den = den + coef * e_self
+        num = num + (coef * e_self)[:, :, None] * self_feat.astype(jnp.float32)
     return num, den
 
 

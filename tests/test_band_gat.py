@@ -193,3 +193,38 @@ def test_dense_dst_gate_requires_hub_free(rng_np):
     assert band_gat_dense_ok(g) is False
     g2 = make_graph(rng_np, hubby=False)
     assert band_gat_dense_ok(g2) is True
+
+
+def test_pyg_gatconv_dense_band_matches_segment_path(rng_np):
+    """PyG-flavor GATConv (dst+src score, neighbors ∪ {one self}, analytic
+    self-loop) through the dense in-window route — incl. graphs with
+    explicit self edges (cancelled by the self_count weighting)."""
+    from deep_gcns_torch_tpu.convs.sparse import GATConv
+
+    n = 512
+    s = rng_np.integers(0, n, n * 5)
+    r = np.clip(s + rng_np.integers(-80, 81, n * 5), 0, n - 1)
+    # explicit self edges for a third of the nodes (PyG pipelines add them)
+    self_ids = rng_np.choice(n, n // 3, replace=False)
+    s = np.concatenate([s, self_ids])
+    r = np.concatenate([r, self_ids])
+    x = rng_np.standard_normal((n, 32)).astype(np.float32)
+    g = attach_band(build_graph(x, s, r, num_nodes=n), window=256, hubs=None)
+    conv = GATConv(32, 16, heads=2, act="relu", norm=None)
+    params, state = conv.init(jax.random.PRNGKey(0))
+    xj = jnp.asarray(np.asarray(g.x))
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 32))
+                     .astype(np.float32))
+
+    def loss(p, x_, graph):
+        out, _ = conv.apply(p, state, x_, graph)
+        return jnp.sum(out * co)
+
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xj, g)
+    l2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(
+        params, xj, g.replace(band=None))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=4e-3,
+                                   atol=4e-4)
