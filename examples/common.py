@@ -215,7 +215,8 @@ def reorder_and_band(args, g, labels, splits, rng):
         splits = {k: inv[np.asarray(v)] for k, v in splits.items()}
         g = build_graph(x, s, r, num_nodes=n)
     if band != "off":
-        g = attach_band(g)
+        g = attach_band(g, hubs=("auto" if getattr(args, "band_hubs", "auto")
+                                 == "auto" else None))
         import logging
 
         logging.getLogger("deep_gcns_torch_tpu").info(

@@ -44,6 +44,11 @@ def get_args():
                    help="attach the band-dense adjacency: gather-free GAT "
                         "attention (sender-only scores are node-factored; "
                         "edge-drop rides the hash DropSpec)")
+    p.add_argument("--band_hubs", type=str, default="auto",
+                   choices=["auto", "off"],
+                   help="hub extraction for the band; 'off' builds a hub-free "
+                        "band — required for the dense in-window route that "
+                        "serves --use_attn_dst scores")
     p.add_argument("--alpha", type=float, default=0.95)
     p.add_argument("--temp", type=float, default=0.7)
     p.set_defaults(epochs=2000, lr=0.002, dropout=0.75)
@@ -115,9 +120,12 @@ def main():
         assert args.teacher_ckpt, "--teacher_ckpt required in student mode"
         teacher_params, _, _, _ = load_ckpt(args.teacher_ckpt, params_like=params)
 
-    # RMSprop + linear warmup (`main.py:119-122, 231`)
+    # torch-exact RMSprop (alpha=0.99, eps outside sqrt — utils/optim.py) +
+    # linear warmup (`main.py:119-122, 231`)
+    from deep_gcns_torch_tpu.utils.optim import rmsprop
+
     sched = optax.linear_schedule(args.lr / 50, args.lr, args.warmup_epochs)
-    tx = optax.rmsprop(sched)
+    tx = rmsprop(sched)
     opt_state = tx.init(params)
 
     def make_feat(label_mask):
