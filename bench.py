@@ -183,18 +183,20 @@ def peak_hbm_bytes(jax):
     bytes (params + opt + graph + O(1) reversible activations — the resident
     set at the step boundary; transients excluded).  The O(1)-vs-depth claim
     compares this at L=101 vs L=1001: the delta must be the params+optimizer
-    growth alone, with NO activation term."""
+    growth alone, with NO activation term.  Returns (bytes, source) where
+    source ∈ {"peak_bytes_in_use", "live_arrays", "none"} — emitted alongside
+    the metric so downstream docs label the number accurately (ADVICE r4)."""
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         peak = int(stats.get("peak_bytes_in_use", 0))
         if peak:
-            return peak
+            return peak, "peak_bytes_in_use"
     except Exception:
         pass
     try:
-        return int(sum(a.nbytes for a in jax.live_arrays()))
+        return int(sum(a.nbytes for a in jax.live_arrays())), "live_arrays"
     except Exception:
-        return 0
+        return 0, "none"
 
 
 def run_rev_workload(jax, jnp, optax, L, iters=3):
@@ -252,10 +254,11 @@ def run_rev_workload(jax, jnp, optax, L, iters=3):
             p, s, opt, loss = step(p, s, opt, key)
         lv = float(loss)  # D2H fetch, tunnel-proof
         best = min(best, (time.time() - t0) / iters)
-    peak = peak_hbm_bytes(jax)
+    peak, peak_src = peak_hbm_bytes(jax)
     print(f"[bench:rev] L={L} compile={compile_s:.1f}s step={best*1e3:.0f}ms "
-          f"loss={lv:.4f} peak_hbm={peak/2**30:.2f}GiB", file=sys.stderr)
-    return best * 1e3, peak
+          f"loss={lv:.4f} peak_hbm={peak/2**30:.2f}GiB ({peak_src})",
+          file=sys.stderr)
+    return best * 1e3, peak, peak_src
 
 
 def main():
@@ -288,8 +291,8 @@ def main():
     # --- reversible flagship: peak-HBM O(1) vs depth (runs FIRST —
     # peak_bytes_in_use is cumulative per process, so the readings must not
     # include the arxiv-scale band buffers of the later workloads) -----------
-    ms101, peak101 = run_rev_workload(jax, jnp, optax, 101)
-    ms1001, peak1001 = run_rev_workload(jax, jnp, optax, 1001)
+    ms101, peak101, _ = run_rev_workload(jax, jnp, optax, 101)
+    ms1001, peak1001, peak_src = run_rev_workload(jax, jnp, optax, 1001)
     if peak101 and peak1001:
         ratio = peak1001 / peak101
         delta_mb = (peak1001 - peak101) / 2**20
@@ -301,8 +304,10 @@ def main():
         ratio = 0.0
         print("[bench:rev] no memory accounting on this runtime",
               file=sys.stderr)
-    emit_raw("revgcn1001x80_peak_hbm_gb", round(peak1001 / 2**30, 3), "GB",
-             ratio)
+    print(json.dumps({"metric": "revgcn1001x80_peak_hbm_gb",
+                      "value": round(peak1001 / 2**30, 3), "unit": "GB",
+                      "vs_baseline": round(ratio, 3),
+                      "source": peak_src}))
     emit_raw("revgcn1001x80_step_ms", round(ms1001, 1), "ms",
              ms1001 / max(ms101, 1e-9))
 

@@ -348,6 +348,11 @@ class GATConv(Module):
     norm: Optional[str] = None
     bias: bool = True
     neg_slope: float = 0.2
+    # PyG GATConv(add_self_loops=...): True (PyG-1.x default, torch_vertex.py
+    # GAT) adds softmax over neighbors ∪ {one analytic self term}; False
+    # (the reference rev GATBlock, `eff_gcn_modules/rev/rev_layer.py:97`)
+    # softmaxes over actual edges only — isolated receivers emit zeros.
+    self_loops: bool = True
 
     def init(self, key):
         kw_, ka, kb, kn = jax.random.split(key, 4)
@@ -381,7 +386,10 @@ class GATConv(Module):
         # per-node partial scores (SDDMM decomposition: score_ij = s_i + s_j)
         s_dst = jnp.einsum("nhd,hd->nh", xt, a_l)  # α-term of the center i
         s_src = jnp.einsum("nhd,hd->nh", xt, a_r)  # α-term of the neighbor j
-        emask = _no_self_mask(g)
+        # self_loops=True: explicit self edges excluded, one analytic self term
+        # added (PyG-1.x "exactly one self").  self_loops=False: the edge list
+        # as-is — explicit self edges are ordinary edges (PyG add_self_loops=False).
+        emask = _no_self_mask(g) if self.self_loops else g.edge_mask
         self_score = jax.nn.leaky_relu(s_dst + s_src, self.neg_slope)  # [N, H]
 
         from ..ops.band import band_gat_dense_ok
@@ -393,12 +401,17 @@ class GATConv(Module):
             # (ops/band.band_gat_dense_agg self_count weighting).
             from ..ops.band import band_gat_dense_agg
 
-            c_self = jax.ops.segment_sum(
-                (g.edge_mask & (g.senders == g.receivers)).astype(jnp.float32),
-                jnp.minimum(g.receivers, n - 1), n, indices_are_sorted=True)
-            num, den = band_gat_dense_agg(
-                xt, s_src, s_dst, g.band, self.neg_slope,
-                self_score=self_score, self_feat=xt, self_count=c_self)
+            if self.self_loops:
+                c_self = jax.ops.segment_sum(
+                    (g.edge_mask & (g.senders == g.receivers)).astype(jnp.float32),
+                    jnp.minimum(g.receivers, n - 1), n, indices_are_sorted=True)
+                num, den = band_gat_dense_agg(
+                    xt, s_src, s_dst, g.band, self.neg_slope,
+                    self_score=self_score, self_feat=xt, self_count=c_self)
+            else:
+                # softmax over actual edges only (add_self_loops=False)
+                num, den = band_gat_dense_agg(
+                    xt, s_src, s_dst, g.band, self.neg_slope)
             out = (num / jnp.maximum(den, 1e-16)[..., None]).astype(x.dtype)
             out = out.reshape(n, h * d)
             if self.bias:
@@ -417,23 +430,27 @@ class GATConv(Module):
         e_score = jax.nn.leaky_relu(
             gather(s_dst, g.receivers) + gather(s_src, g.senders), self.neg_slope)
 
-        # softmax over neighbors ∪ {self}: stabilize with combined max
+        # softmax over neighbors (∪ {self} when self_loops): combined-max stabilizer
         seg_max = jax.ops.segment_max(jnp.where(emask[:, None], e_score, -jnp.inf),
                                       g.receivers, n, indices_are_sorted=True)
-        mx = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf), self_score)
+        mx = jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf)
+        if self.self_loops:
+            mx = jnp.maximum(mx, self_score)
         mx = jax.lax.stop_gradient(jnp.where(jnp.isfinite(mx), mx, 0.0))
         e_exp = jnp.where(emask[:, None], jnp.exp(e_score - gather(mx, g.receivers)), 0)
-        self_exp = jnp.exp(self_score - mx)
         denom = jax.ops.segment_sum(e_exp, g.receivers, n, indices_are_sorted=True)
-        denom = denom + self_exp
+        if self.self_loops:
+            self_exp = jnp.exp(self_score - mx)
+            denom = denom + self_exp
+            alpha_self = self_exp / jnp.maximum(denom, 1e-16)
         alpha = e_exp / jnp.maximum(gather(denom, g.receivers), 1e-16)
-        alpha_self = self_exp / jnp.maximum(denom, 1e-16)
 
         xt_flat = xt.reshape(n, h * d)
         msg = gather_src_auto(xt_flat, g).reshape(-1, h, d) * alpha[..., None]
         out = segment_sum(jnp.where(emask[:, None, None], msg, 0), g.receivers, n,
                           row_ptr=g.row_ptr)
-        out = out + xt * alpha_self[..., None]
+        if self.self_loops:
+            out = out + xt * alpha_self[..., None]
         out = out.reshape(n, h * d)
         if self.bias:
             out = out + params["b"]

@@ -721,6 +721,16 @@ def band_gat_agg(feat_src: Array, el: Array, bands: BandPair,
     stabilizer is exact softmax algebra (any shift cancels); numerics match
     the segment path to bf16 tolerance (tests/test_band_gat.py).
 
+    Dynamic-range assumption: the single GLOBAL per-head max (vs the segment
+    path's per-receiver max) underflows a receiver to den = 0 when ALL its
+    senders score ≳87 below the global max (exp(−87) < f32 tiny), and the
+    caller's den>0 guard then emits exactly 0 where the segment path returns
+    a valid average.  Post-norm attention logits (the RevGAT config: BN'd
+    features into a bounded a_l) stay within a few units of spread, far from
+    the cliff; if you feed un-normalized features with score spread ≳80,
+    route through band_gat_dense_agg (exact per-receiver stabilization)
+    instead.  (ADVICE r4 finding, documented by design decision.)
+
     feat_src: [N, H, D] (symmetric-norm pre-scaling already applied);
     el: [N, H] attention logits a_l·feat_src.  Returns (num [N,H,D],
     den [N,H]) both f32 — caller divides (keeps the den>0 masking in one

@@ -227,9 +227,11 @@ class SpatialGATBlock(Module):
     GAT's per-edge score decomposes per node (score_ij = leaky_relu(s_i + s_j)
     — the SDDMM split in convs/sparse.GATConv), so ONE exchanged payload
     [xt | s_src] serves both the attention logits and the messages; the
-    segment softmax over neighbors ∪ {self} (PyG-1.x semantics, self edges
-    excluded and re-added analytically) is receiver-local because edges are
-    partitioned by receiver.  Matches `eff_gcn_modules/rev/rev_layer.py:96-109`."""
+    segment softmax (over actual neighbors when conv.self_loops=False — the
+    reference GATBlock's add_self_loops=False — else neighbors ∪ {self} with
+    self edges excluded and re-added analytically) is receiver-local because
+    edges are partitioned by receiver.  Matches
+    `eff_gcn_modules/rev/rev_layer.py:96-109`."""
     blk: Module          # the single-chip GATBlock
     axis: str = "gp"
     exchange: str = "auto"
@@ -259,7 +261,11 @@ class SpatialGATBlock(Module):
         ss_src = tab[:, h * d:]
 
         d_index = jax.lax.axis_index(self.axis)
-        emask = my.edge_mask & (my.senders != my.receivers + d_index * S)
+        if conv.self_loops:
+            emask = my.edge_mask & (my.senders != my.receivers + d_index * S)
+        else:
+            # add_self_loops=False (`rev_layer.py:97`): edge list as-is
+            emask = my.edge_mask
         e_score = jax.nn.leaky_relu(
             jnp.take(s_dst, my.receivers, axis=0, mode="clip")
             + jnp.take(ss_src, senders, axis=0), conv.neg_slope)
@@ -268,26 +274,30 @@ class SpatialGATBlock(Module):
         seg_max = jax.ops.segment_max(
             jnp.where(emask[:, None], e_score, -jnp.inf), my.receivers, S,
             indices_are_sorted=True)
-        mx = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf),
-                         self_score)
+        mx = jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf)
+        if conv.self_loops:
+            mx = jnp.maximum(mx, self_score)
         mx = jax.lax.stop_gradient(jnp.where(jnp.isfinite(mx), mx, 0.0))
         e_exp = jnp.where(
             emask[:, None],
             jnp.exp(e_score - jnp.take(mx, my.receivers, axis=0, mode="clip")),
             0)
-        self_exp = jnp.exp(self_score - mx)
         denom = jax.ops.segment_sum(e_exp, my.receivers, S,
-                                    indices_are_sorted=True) + self_exp
+                                    indices_are_sorted=True)
+        if conv.self_loops:
+            self_exp = jnp.exp(self_score - mx)
+            denom = denom + self_exp
+            alpha_self = self_exp / jnp.maximum(denom, 1e-16)
         alpha = e_exp / jnp.maximum(
             jnp.take(denom, my.receivers, axis=0, mode="clip"), 1e-16)
-        alpha_self = self_exp / jnp.maximum(denom, 1e-16)
 
         msg = (jnp.take(xt_src, senders, axis=0).reshape(-1, h, d)
                * alpha[..., None])
         out = jax.ops.segment_sum(
             jnp.where(emask[:, None, None], msg, 0), my.receivers, S,
             indices_are_sorted=True)
-        out = out + xt * alpha_self[..., None]
+        if conv.self_loops:
+            out = out + xt * alpha_self[..., None]
         out = out.reshape(S, h * d)
         if conv.bias:
             out = out + gp["b"]

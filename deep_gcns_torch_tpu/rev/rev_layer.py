@@ -141,9 +141,11 @@ class GATBlock(Module):
     norm: str = "layer"
 
     def _conv(self):
-        # concat=False ⇒ average heads: emulate with 1-head out_dim (heads>1 averaged)
+        # concat=False ⇒ average heads: emulate with 1-head out_dim (heads>1
+        # averaged).  The reference constructs PyG GATConv(add_self_loops=False)
+        # (`rev_layer.py:97`) — softmax over actual neighbors only.
         return GATConv(self.in_dim, self.out_dim, heads=self.heads, act=None,
-                       norm=None)
+                       norm=None, self_loops=False)
 
     def init(self, key):
         k0, k1 = jax.random.split(key)
