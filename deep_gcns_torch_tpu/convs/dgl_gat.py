@@ -137,18 +137,18 @@ class SymGATConv(Module):
 
         if (self.use_attn_dst and (not dropping or drop_spec is not None)
                 and _gat_dense_ok(g)):
-            # dst-score GAT through DENSE IN-WINDOW evaluation: the
-            # [128, W, H] score tensor per receiver block comes from two node
-            # tables, the weighted aggregation is one einsum per block —
-            # no per-edge gather (ops/band.band_gat_dense_agg; hub-free
-            # band required).
-            from ..ops.band import band_gat_dense_agg
+            # dst-score GAT through DENSE evaluation over all band
+            # structures (window + hub cols/rows; exact shared stabilizer,
+            # manual VJP) — no per-edge gather (ops/gat_dense.py; hub-capable
+            # since round 5).
+            from ..ops.band import band_gat_dense_agg, band_interpret
 
             cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
                   else feat_src.dtype)
             num, den = band_gat_dense_agg(feat_src, el, er, g.band,
                                           self.neg_slope, compute_dtype=cd,
-                                          drop=drop_spec)
+                                          drop=drop_spec,
+                                          interpret=band_interpret())
             out = jnp.where((den > 0)[..., None],
                             num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
         elif ((not self.use_attn_dst)

@@ -399,7 +399,7 @@ class GATConv(Module):
             # not additively separable): neighbors ∪ {one self} exactly —
             # explicit self edges in the band are cancelled analytically
             # (ops/band.band_gat_dense_agg self_count weighting).
-            from ..ops.band import band_gat_dense_agg
+            from ..ops.band import band_gat_dense_agg, band_interpret
 
             if self.self_loops:
                 c_self = jax.ops.segment_sum(
@@ -407,11 +407,13 @@ class GATConv(Module):
                     jnp.minimum(g.receivers, n - 1), n, indices_are_sorted=True)
                 num, den = band_gat_dense_agg(
                     xt, s_src, s_dst, g.band, self.neg_slope,
-                    self_score=self_score, self_feat=xt, self_count=c_self)
+                    self_score=self_score, self_feat=xt, self_count=c_self,
+                    interpret=band_interpret())
             else:
                 # softmax over actual edges only (add_self_loops=False)
                 num, den = band_gat_dense_agg(
-                    xt, s_src, s_dst, g.band, self.neg_slope)
+                    xt, s_src, s_dst, g.band, self.neg_slope,
+                    interpret=band_interpret())
             out = (num / jnp.maximum(den, 1e-16)[..., None]).astype(x.dtype)
             out = out.reshape(n, h * d)
             if self.bias:

@@ -758,21 +758,17 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
                        drop: Optional[DropSpec] = None,
                        self_score: Optional[Array] = None,
                        self_feat: Optional[Array] = None,
-                       self_count: Optional[Array] = None
-                       ) -> Tuple[Array, Array]:
+                       self_count: Optional[Array] = None,
+                       interpret=False) -> Tuple[Array, Array]:
     """Gather-free GAT aggregation for the DST-SCORE case
     (`use_attn_dst=True`: score_e = leaky_relu(el[send] + er[recv]), per
     head — NOT additively separable, so the sum factorization of
-    band_gat_agg does not apply).  Served instead by DENSE IN-WINDOW
-    evaluation: per (128-receiver block, window) the [128, W, H] score
-    tensor is computable from two node tables; the weighted aggregation is
-    one einsum per block.  Exact per-receiver stabilization (row max over
-    band ∪ leftover, stop-grad — the shift cancels analytically like
-    segment_softmax's).  VJP via autodiff (pure jnp throughout).
+    band_gat_agg does not apply).  Served by DENSE evaluation over ALL band
+    structures — window, hub columns, hub rows — with an exact shared
+    per-receiver stabilizer and a manual custom VJP (d_er over the forward
+    structures, d_el/d_feat over the transpose band\'s): ops/gat_dense.py.
+    Hub-capable since round 5 (the r4 hub-free gate is lifted).
 
-    Requires a HUB-FREE band (build with hubs=None): dense hub-column/row
-    score tensors would be [N, H_hub, H] / [R, N_pad, H] — gate with
-    band_gat_dense_ok.  Off-window edges ride per-edge gathers (small).
     Returns (num [N, H, D], den [N, H]) f32 — caller divides.
 
     PyG-1.x self-loop semantics (`convs/sparse.GATConv`): pass
@@ -782,122 +778,24 @@ def band_gat_dense_agg(feat_src: Array, el: Array, er: Array,
     explicit self edges are cancelled by a (1 − self_count) weighting of
     the analytic self term, which also joins the stabilizer.
     """
-    band = bands.fwd
-    assert band.hub_ids is None and band.hub_row_ids is None, \
-        "dense-window GAT needs a hub-free band (attach_band(..., hubs=None))"
     assert self_score is None or drop is None, \
         "self-loop semantics + edge-drop not composed (PyG GATConv has no drop)"
-    n, h, d = feat_src.shape
-    w = band.window
-    nb = n // BN
-    cd = compute_dtype or feat_src.dtype
-    neg = jnp.float32(-1e30)
+    from .gat_dense import gat_dense_agg
 
-    # leftover first: its per-receiver max joins the stabilizer
-    has_lo = band.n_lo > 0
-    if has_lo:
-        lo_s = jnp.minimum(band.lo_src, n - 1)
-        lo_valid = band.lo_dst < n
-        lo_d = jnp.minimum(band.lo_dst, n - 1)
-        s_lo = jax.nn.leaky_relu(
-            jnp.take(el.astype(jnp.float32), lo_s, axis=0)
-            + jnp.take(er.astype(jnp.float32), lo_d, axis=0), neg_slope)
-        keep_lo = lo_valid
-        if drop is not None:
-            keep_lo = keep_lo & _hash_keep(
-                band.lo_dst.astype(jnp.int32), band.lo_src.astype(jnp.int32),
-                drop.k0, drop.k1, drop.thresh)
-        s_lo = jnp.where(keep_lo[:, None], s_lo, neg)
-        m_lo = jax.ops.segment_max(s_lo, lo_d, n, indices_are_sorted=True)
-    else:
-        m_lo = jnp.full((n, h), neg)
-    if self_score is not None:
-        m_lo = jnp.maximum(m_lo, self_score.astype(jnp.float32))
-
-    # band side: chunked scan over receiver blocks — the [cb·BN, w, h] score
-    # tensor only ever lives per chunk, and jax.checkpoint recomputes it in
-    # the backward (unchunked autodiff residuals measured 22GB at arxiv
-    # scale; per-chunk they are ~10MB)
-    cb = 1
-    for cand in (16, 8, 4, 2):
-        if nb % cand == 0:
-            cb = cand
-            break
-    elf = el.astype(jnp.float32)
-    erf = er.astype(jnp.float32)
-    featc = feat_src.astype(cd)
-    w_lo_c = band.w_lo.reshape(nb // cb, cb)
-    counts_c = band.a.reshape(nb // cb, cb, BN, w)
-    roff = jnp.arange(nb * BN, dtype=jnp.int32).reshape(nb // cb, cb, BN)
-
-    def chunk(carry, inp):
-        w_lo_k, counts_k, rows_k = inp    # [cb], [cb, BN, w], [cb, BN]
-        win_ids = w_lo_k[:, None] + jnp.arange(w)[None, :]       # [cb, w]
-        el_win = jnp.take(elf, win_ids, axis=0)                  # [cb, w, h]
-        er_blk = jnp.take(erf, rows_k.reshape(-1), axis=0
-                          ).reshape(cb, BN, h)
-        mask = counts_k > 0
-        if drop is not None:
-            cols = (w_lo_k[:, None, None]
-                    + jnp.arange(w, dtype=jnp.int32)[None, None, :]
-                    + jnp.zeros((1, BN, 1), jnp.int32))
-            rows3 = rows_k[:, :, None] + jnp.zeros((1, 1, w), jnp.int32)
-            mask = mask & _hash_keep(rows3, cols, drop.k0, drop.k1,
-                                     drop.thresh)
-        scores = jax.nn.leaky_relu(
-            er_blk[:, :, None, :] + el_win[:, None, :, :], neg_slope)
-        scores = jnp.where(mask[:, :, :, None], scores, neg)  # [cb,BN,w,h]
-        m_band = jnp.max(scores, axis=2)                      # [cb, BN, h]
-        m_lo_k = jnp.take(m_lo, rows_k.reshape(-1), axis=0
-                          ).reshape(cb, BN, h)
-        m = jax.lax.stop_gradient(jnp.where(
-            jnp.maximum(m_band, m_lo_k) > neg / 2,
-            jnp.maximum(m_band, m_lo_k), 0.0))                # [cb, BN, h]
-        e_band = jnp.where(mask[:, :, :, None],
-                           counts_k[:, :, :, None].astype(jnp.float32)
-                           * jnp.exp(scores - m[:, :, None, :]), 0.0)
-        den_k = jnp.sum(e_band, axis=2)                       # [cb, BN, h]
-        feat_win = jnp.take(featc, win_ids, axis=0)           # [cb, w, h, d]
-        num_k = jnp.einsum("bnwh,bwhd->bnhd", e_band.astype(cd), feat_win,
-                           preferred_element_type=jnp.float32)
-        return carry, (num_k.astype(jnp.float32), den_k, m)
-
-    _, (num, den, m_all) = jax.lax.scan(jax.checkpoint(chunk), None,
-                                        (w_lo_c, counts_c, roff))
-    num = num.reshape(n, h, d)
-    den = den.reshape(n, h)
-    m = m_all.reshape(n, h)
-
-    if has_lo:
-        e_lo = jnp.where(keep_lo[:, None], jnp.exp(
-            s_lo - jnp.take(m, lo_d, axis=0)), 0.0)
-        den = den + jax.ops.segment_sum(e_lo, lo_d, n, indices_are_sorted=True)
-        msg_lo = (e_lo[:, :, None].astype(cd)
-                  * jnp.take(featc, lo_s, axis=0))
-        num = num + jax.ops.segment_sum(
-            msg_lo.astype(jnp.float32), lo_d, n, indices_are_sorted=True)
-    if self_score is not None:
-        # neighbors ∪ {one self}: the analytic self term weighted (1 − c_self)
-        # cancels any explicit self edges counted in the band/leftover above
-        e_self = jnp.exp(self_score.astype(jnp.float32) - m)
-        coef = (1.0 - self_count.astype(jnp.float32))[:, None]
-        den = den + coef * e_self
-        num = num + (coef * e_self)[:, :, None] * self_feat.astype(jnp.float32)
-    return num, den
+    return gat_dense_agg(feat_src, el, er, self_score, self_feat, self_count,
+                         bands, drop, neg_slope, compute_dtype, interpret)
 
 
 def band_gat_dense_ok(g, min_coverage: float = 0.5) -> bool:
-    """Gate for the dense-window dst-score GAT route: a HUB-FREE band with
-    enough window coverage (hub tensors are not dense-score servable)."""
+    """Gate for the dense dst-score GAT route (ops/gat_dense.py).  Hub-capable
+    since round 5: hub columns/rows get their own dense score passes with the
+    shared stabilizer, so power-law graphs ride the only-trainable dst-score
+    path too.  Only coverage still gates (a large leftover pays per-edge
+    [H, D] gathers in every pass)."""
     band = getattr(g, "band", None)
     if band is None:
         return False
     f = band.fwd
-    if f.hub_ids is not None or f.hub_row_ids is not None:
-        from .segment import _miss
-        return _miss("band_gat_dense", "hub structures present (dense "
-                     "in-window scores serve the pure window band only — "
-                     "attach_band(..., hubs=None))")
     if f.coverage < min_coverage:
         from .segment import _miss
         return _miss("band_gat_dense",

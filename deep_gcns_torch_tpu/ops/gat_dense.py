@@ -1,0 +1,817 @@
+"""Dense-window GAT aggregation for the DST-SCORE case, hub-capable.
+
+The score ``score_e = leaky_relu(el[send_e] + er[recv_e])`` (per head) is NOT
+additively separable, so the sum factorization of ``band.band_gat_agg`` does
+not apply.  This module evaluates the softmax aggregation
+
+    num[r] = sum_e c_e . exp(score_e - M_r) . feat[send_e]
+    den[r] = sum_e c_e . exp(score_e - M_r)            (caller divides)
+
+gather-free over the band's dense structures, with an EXACT per-receiver
+stabilizer ``M_r = stop_grad max_e score_e`` taken over ALL structures (window
+band + hub columns + hub rows + leftover + optional analytic self term), so
+numerics match the per-edge segment path to dtype tolerance.
+
+Structures (one pass each; every valid edge lives in exactly one):
+  * window band     — per 128-receiver block, a dense [W, 128] transposed
+                      count tile against the block's source window
+  * hub columns     — top out-degree senders: [N, H] counts vs an [H] node set
+  * hub rows        — top in-degree receivers: their complete rows [R, N]
+  * leftover        — small per-edge CSR (the only gathers)
+  * self term       — PyG-1.x "neighbors + exactly one self" flavor: analytic
+                      term weighted (1 - #explicit-self-edges) cancels explicit
+                      self edges counted by the structures above
+
+Backward (custom VJP, manual): with E_e = c_e exp(score_e - M_r),
+q_e = <g_num[r], feat[s]> + g_den[r], t_e = E_e q_e lrelu'(z_e):
+    d_feat[s] = sum_e E_e g_num[r]         d_el[s] = sum_e t_e
+    d_er[r]   = sum_e t_e
+d_er sums ride the FORWARD band's structures (receiver-major); d_el/d_feat
+sums ride the TRANSPOSE band's (bands.bwd, sender-major) — every quantity is
+a function of node tables, so any exact representation of the edge multiset
+serves (the same argument as ``band_spmm``'s transpose-band VJP).
+
+``interpret``: False = Mosaic kernels for the window/hub-column passes (TPU),
+True = Pallas interpreter, "xla" = pure-XLA emulation (CPU tests; identical
+math).  Hub rows, leftover and self always ride XLA.
+
+Replaces the hot loop of
+`/root/reference/examples/ogb_eff/ogbn_arxiv_dgl/model_rev.py:154-176`
+(DGL edge_softmax with u_add_v scores) and PyG-1.x GATConv softmax
+(`gcn_lib/sparse/torch_vertex.py:117-133`) for loosely-banded graphs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .band import ALIGN, BN, Band, BandPair, DropSpec, _hash_keep
+
+Array = jax.Array
+
+NEG = -1e30          # "no edge" score (finite: NEG - NEG == 0, no NaNs)
+CAP = 50.0           # shift cap: exp(<=50) finite even for masked positions
+GAT_MAX_HUBS = 2048  # kernel VMEM cap on in-kernel hub columns per direction
+
+
+def _lrelu(z, ns):
+    return jnp.where(z >= 0, z, ns * z)
+
+
+def _dlrelu(z, ns):
+    return jnp.where(z >= 0, 1.0, ns)
+
+
+def _prec(cd):
+    # f32 HIGHEST for torch-f32 parity, bf16 DEFAULT (band._band_kernel rule)
+    return (jax.lax.Precision.DEFAULT if cd == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
+def _win_ids(band: Band, n: int):
+    w = band.window
+    return band.w_lo[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+
+
+def _win_keep(band: Band, drop: Optional[DropSpec], nb: int, swap: bool):
+    """[nb, BN, W] keep plane for the window band (True when drop is None)."""
+    if drop is None:
+        return None
+    w = band.window
+    rows = (jnp.arange(nb * BN, dtype=jnp.int32).reshape(nb, BN)[:, :, None]
+            + jnp.zeros((1, 1, w), jnp.int32))
+    cols = (band.w_lo[:, None, None]
+            + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+            + jnp.zeros((1, BN, 1), jnp.int32))
+    recv, send = (cols, rows) if swap else (rows, cols)
+    return _hash_keep(recv, send, drop.k0, drop.k1, drop.thresh)
+
+
+# ---------------------------------------------------------------------------
+# XLA window passes (emulation + CPU tests; per-block einsums, chunked scan)
+# ---------------------------------------------------------------------------
+
+def _win_chunks(nb: int):
+    """Receiver-block chunking WITHOUT divisor cliffs (ADVICE r4): largest
+    cb <= 16 so the scan runs ceil(nb/cb) steps; the tail chunk is evaluated
+    separately on the same chunk fn (no padding of the big arrays)."""
+    cb = min(16, nb)
+    return cb, (nb // cb) * cb
+
+
+def _scan_blocks(fn, band: Band, n: int, tables: Tuple[Array, ...]):
+    """Run ``fn(w_lo_k [cb], cnt_k [cb,BN,W], rows_k [cb,BN], *table_slices)``
+    over all receiver blocks; tables are [nb, ...] per-block arrays.  Returns
+    stacked outputs reshaped to [nb, ...]."""
+    nb = n // BN
+    w = band.window
+    cb, main = _win_chunks(nb)
+    w_lo = band.w_lo
+    cnt = band.a.reshape(nb, BN, w)
+    rows = jnp.arange(nb * BN, dtype=jnp.int32).reshape(nb, BN)
+
+    def body(_, inp):
+        return None, fn(*inp)
+
+    xs = tuple(t[:main].reshape(main // cb, cb, *t.shape[1:])
+               for t in (w_lo, cnt, rows) + tables)
+    _, ys = jax.lax.scan(body, None, xs)
+    outs = [y.reshape(-1, *y.shape[2:]) for y in ys]
+    if main < nb:
+        tail = fn(*(t[main:] for t in (w_lo, cnt, rows) + tables))
+        outs = [jnp.concatenate([o, t], axis=0) for o, t in zip(outs, tail)]
+    return outs
+
+
+def _win_max_xla(band, elf, erf, ns, drop, swap=False):
+    """Exact masked per-receiver max over the window band.  [n, h]."""
+    n, h = erf.shape
+    nb = n // BN
+    w = band.window
+    keep = _win_keep(band, drop, nb, swap)
+
+    def chunk(w_lo_k, cnt_k, rows_k, keep_k=None):
+        win = w_lo_k[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+        el_w = jnp.take(elf, win, axis=0)                     # [cb, W, h]
+        er_b = jnp.take(erf, rows_k.reshape(-1), axis=0
+                        ).reshape(*rows_k.shape, h)           # [cb, BN, h]
+        s = _lrelu(er_b[:, :, None, :] + el_w[:, None, :, :], ns)
+        mask = cnt_k > 0
+        if keep_k is not None:
+            mask = mask & keep_k
+        s = jnp.where(mask[..., None], s, NEG)
+        return (jnp.max(s, axis=2),)                          # [cb, BN, h]
+
+    tables = (keep,) if keep is not None else ()
+    (m,) = _scan_blocks(chunk, band, n, tables)
+    return m.reshape(n, h)
+
+
+def _win_sum_xla(band, elf, erf, m, featc, ns, drop, cd):
+    """Window-band num/den given the global stabilizer m.  ([n,h,d], [n,h])."""
+    n, h = erf.shape
+    d = featc.shape[-1] // h if featc.ndim == 2 else featc.shape[-1]
+    featc = featc.reshape(n, h, d)
+    nb = n // BN
+    w = band.window
+    keep = _win_keep(band, drop, nb, swap=False)
+
+    def chunk(w_lo_k, cnt_k, rows_k, keep_k=None):
+        win = w_lo_k[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+        el_w = jnp.take(elf, win, axis=0)
+        er_b = jnp.take(erf, rows_k.reshape(-1), axis=0
+                        ).reshape(*rows_k.shape, h)
+        m_b = jnp.take(m, rows_k.reshape(-1), axis=0).reshape(*rows_k.shape, h)
+        s = _lrelu(er_b[:, :, None, :] + el_w[:, None, :, :], ns)
+        mask = cnt_k > 0
+        if keep_k is not None:
+            mask = mask & keep_k
+        e = jnp.where(mask[..., None],
+                      cnt_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(s - m_b[:, :, None, :], CAP)), 0.0)
+        den_k = jnp.sum(e, axis=2)                            # [cb, BN, h]
+        f_w = jnp.take(featc, win, axis=0)                    # [cb, W, h, d]
+        num_k = jnp.einsum("bnwh,bwhd->bnhd", e.astype(cd), f_w,
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(cd))
+        return num_k.astype(jnp.float32), den_k
+
+    tables = (keep,) if keep is not None else ()
+    num, den = _scan_blocks(jax.checkpoint(chunk), band, n, tables)
+    return num.reshape(n, h, d), den.reshape(n, h)
+
+
+def _win_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, cd):
+    """d_er over the window band: per-receiver row sums of t.  [n, h]."""
+    n, h = erf.shape
+    if featc.ndim == 2:
+        featc = featc.reshape(n, h, -1)
+    d = featc.shape[-1]
+    nb = n // BN
+    w = band.window
+    keep = _win_keep(band, drop, nb, swap=False)
+
+    def chunk(w_lo_k, cnt_k, rows_k, keep_k=None):
+        win = w_lo_k[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+        el_w = jnp.take(elf, win, axis=0)
+        f_w = jnp.take(featc, win, axis=0)                    # [cb, W, h, d]
+        er_b = jnp.take(erf, rows_k.reshape(-1), axis=0
+                        ).reshape(*rows_k.shape, h)
+        m_b = jnp.take(m, rows_k.reshape(-1), axis=0).reshape(*rows_k.shape, h)
+        gn_b = jnp.take(gnum, rows_k.reshape(-1), axis=0
+                        ).reshape(*rows_k.shape, h, d)
+        gd_b = jnp.take(gden, rows_k.reshape(-1), axis=0
+                        ).reshape(*rows_k.shape, h)
+        z = er_b[:, :, None, :] + el_w[:, None, :, :]
+        mask = cnt_k > 0
+        if keep_k is not None:
+            mask = mask & keep_k
+        e = jnp.where(mask[..., None],
+                      cnt_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                            - m_b[:, :, None, :], CAP)), 0.0)
+        q = jnp.einsum("bnhd,bwhd->bnwh", gn_b.astype(cd), f_w,
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(cd)) + gd_b[:, :, None, :]
+        t = e * q * _dlrelu(z, ns)
+        return (jnp.sum(t, axis=2),)                          # [cb, BN, h]
+
+    tables = (keep,) if keep is not None else ()
+    (der,) = _scan_blocks(jax.checkpoint(chunk), band, n, tables)
+    return der.reshape(n, h)
+
+
+def _win_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, cd):
+    """d_el and d_feat over the TRANSPOSE band's window (rows = senders,
+    window over receivers).  ([n, h], [n, h, d])."""
+    n, h = elf.shape
+    if featc.ndim == 2:
+        featc = featc.reshape(n, h, -1)
+    d = featc.shape[-1]
+    nb = n // BN
+    w = band_bwd.window
+    keep = _win_keep(band_bwd, drop, nb, swap=True)
+
+    def chunk(w_lo_k, cnt_k, rows_k, keep_k=None):
+        win = w_lo_k[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+        er_w = jnp.take(erf, win, axis=0)                     # [cb, W, h]
+        m_w = jnp.take(m, win, axis=0)
+        gn_w = jnp.take(gnum, win, axis=0)                    # [cb, W, h, d]
+        gd_w = jnp.take(gden, win, axis=0)
+        el_b = jnp.take(elf, rows_k.reshape(-1), axis=0
+                        ).reshape(*rows_k.shape, h)
+        f_b = jnp.take(featc, rows_k.reshape(-1), axis=0
+                       ).reshape(*rows_k.shape, h, d)
+        z = el_b[:, :, None, :] + er_w[:, None, :, :]         # [cb,BN,W,h]
+        mask = cnt_k > 0
+        if keep_k is not None:
+            mask = mask & keep_k
+        e = jnp.where(mask[..., None],
+                      cnt_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                            - m_w[:, None, :, :], CAP)), 0.0)
+        q = jnp.einsum("bnhd,bwhd->bnwh", f_b, gn_w.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(cd)) + gd_w[:, None, :, :]
+        t = e * q * _dlrelu(z, ns)
+        d_el_k = jnp.sum(t, axis=2)                           # [cb, BN, h]
+        d_f_k = jnp.einsum("bnwh,bwhd->bnhd", e.astype(cd), gn_w.astype(cd),
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(cd))
+        return d_el_k, d_f_k.astype(jnp.float32)
+
+    tables = (keep,) if keep is not None else ()
+    d_el, d_f = _scan_blocks(jax.checkpoint(chunk), band_bwd, n, tables)
+    return d_el.reshape(n, h), d_f.reshape(n, h, d)
+
+
+# ---------------------------------------------------------------------------
+# hub columns (dense [N, H] counts vs an [H] node set) — XLA chunked passes
+# ---------------------------------------------------------------------------
+
+HUB_CHUNK = 2048  # receiver rows per scan step ([ch, H, h] score tile)
+
+
+def _row_scan(fn, n_rows: int, tables: Tuple[Array, ...], ch: int):
+    """Chunk axis 0 of every table into ``ch``-row slices (scan over the main
+    part, one direct call on the tail — no divisor cliffs, no big pads)."""
+    ch = min(ch, n_rows)
+    main = (n_rows // ch) * ch
+
+    def body(_, inp):
+        return None, fn(*inp)
+
+    xs = tuple(t[:main].reshape(main // ch, ch, *t.shape[1:]) for t in tables)
+    _, ys = jax.lax.scan(body, None, xs)
+    outs = [y.reshape(-1, *y.shape[2:]) for y in ys]
+    if main < n_rows:
+        tail = fn(*(t[main:] for t in tables))
+        outs = [jnp.concatenate([o, t], axis=0) for o, t in zip(outs, tail)]
+    return outs
+
+
+def _hub_keep(drop, rows, cols, swap):
+    if drop is None:
+        return None
+    recv, send = (cols, rows) if swap else (rows, cols)
+    return _hash_keep(recv, send, drop.k0, drop.k1, drop.thresh)
+
+
+def _hubcol_max_xla(band, elf, erf, ns, drop, swap=False):
+    """Masked max over the hub-column structure (cols = band.hub_ids)."""
+    n, h = erf.shape
+    el_hub = jnp.take(elf, band.hub_ids, axis=0)              # [H, h]
+    ids = band.hub_ids.astype(jnp.int32)
+
+    def chunk(a_k, er_k, r0_k):
+        mask = a_k > 0
+        keep = _hub_keep(drop, r0_k[:, None], ids[None, :], swap)
+        if keep is not None:
+            mask = mask & keep
+        s = _lrelu(er_k[:, None, :] + el_hub[None, :, :], ns)
+        return (jnp.max(jnp.where(mask[..., None], s, NEG), axis=1),)
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    (m,) = _row_scan(chunk, n, (band.a_hub, erf, rows), HUB_CHUNK)
+    return m
+
+
+def _hubcol_sum_xla(band, elf, erf, m, featc, ns, drop, cd):
+    n, h = erf.shape
+    d = featc.shape[-1]
+    el_hub = jnp.take(elf, band.hub_ids, axis=0)
+    f_hub = jnp.take(featc, band.hub_ids, axis=0)             # [H, h, d]
+    ids = band.hub_ids.astype(jnp.int32)
+
+    def chunk(a_k, er_k, m_k, r0_k):
+        mask = a_k > 0
+        keep = _hub_keep(drop, r0_k[:, None], ids[None, :], swap=False)
+        if keep is not None:
+            mask = mask & keep
+        s = _lrelu(er_k[:, None, :] + el_hub[None, :, :], ns)
+        e = jnp.where(mask[..., None],
+                      a_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(s - m_k[:, None, :], CAP)), 0.0)
+        den_k = jnp.sum(e, axis=1)
+        num_k = jnp.einsum("cHh,Hhd->chd", e.astype(cd), f_hub,
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(cd))
+        return num_k.astype(jnp.float32), den_k
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    num, den = _row_scan(jax.checkpoint(chunk), n,
+                         (band.a_hub, erf, m, rows), HUB_CHUNK)
+    return num, den
+
+
+def _hubcol_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, cd):
+    n, h = erf.shape
+    el_hub = jnp.take(elf, band.hub_ids, axis=0)
+    f_hub = jnp.take(featc, band.hub_ids, axis=0)
+    ids = band.hub_ids.astype(jnp.int32)
+
+    def chunk(a_k, er_k, m_k, gn_k, gd_k, r0_k):
+        mask = a_k > 0
+        keep = _hub_keep(drop, r0_k[:, None], ids[None, :], swap=False)
+        if keep is not None:
+            mask = mask & keep
+        z = er_k[:, None, :] + el_hub[None, :, :]
+        e = jnp.where(mask[..., None],
+                      a_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                            - m_k[:, None, :], CAP)), 0.0)
+        q = jnp.einsum("chd,Hhd->cHh", gn_k.astype(cd), f_hub,
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(cd)) + gd_k[:, None, :]
+        t = e * q * _dlrelu(z, ns)
+        return (jnp.sum(t, axis=1),)
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    (der,) = _row_scan(jax.checkpoint(chunk), n,
+                       (band.a_hub, erf, m, gnum, gden, rows), HUB_CHUNK)
+    return der
+
+
+def _hubcol_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, cd):
+    """d_el/d_feat over the TRANSPOSE band's hub columns (cols = top in-degree
+    receivers; rows = senders chunked)."""
+    n, h = elf.shape
+    d = featc.shape[-1]
+    ids = band_bwd.hub_ids.astype(jnp.int32)                  # receiver ids
+    er_hub = jnp.take(erf, band_bwd.hub_ids, axis=0)          # [H, h]
+    m_hub = jnp.take(m, band_bwd.hub_ids, axis=0)
+    gn_hub = jnp.take(gnum, band_bwd.hub_ids, axis=0)         # [H, h, d]
+    gd_hub = jnp.take(gden, band_bwd.hub_ids, axis=0)
+
+    def chunk(a_k, el_k, f_k, r0_k):
+        mask = a_k > 0                                        # [c, H]
+        keep = _hub_keep(drop, r0_k[:, None], ids[None, :], swap=True)
+        if keep is not None:
+            mask = mask & keep
+        z = el_k[:, None, :] + er_hub[None, :, :]             # [c, H, h]
+        e = jnp.where(mask[..., None],
+                      a_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                            - m_hub[None, :, :], CAP)), 0.0)
+        q = jnp.einsum("chd,Hhd->cHh", f_k, gn_hub.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(cd)) + gd_hub[None, :, :]
+        t = e * q * _dlrelu(z, ns)
+        d_el_k = jnp.sum(t, axis=1)                           # [c, h]
+        d_f_k = jnp.einsum("cHh,Hhd->chd", e.astype(cd), gn_hub.astype(cd),
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(cd))
+        return d_el_k, d_f_k.astype(jnp.float32)
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    d_el, d_f = _row_scan(jax.checkpoint(chunk), n,
+                          (band_bwd.a_hub, elf, featc, rows), HUB_CHUNK)
+    return d_el, d_f
+
+
+# ---------------------------------------------------------------------------
+# hub rows (complete [R, N] rows of top in-degree receivers) — XLA passes
+# chunked over the opposite (sender) axis
+# ---------------------------------------------------------------------------
+
+def _hubrow_max_xla(band, elf, erf, ns, drop):
+    """[R, h] masked max for the hub-row receivers (full rows, sender-chunked
+    online max accumulation)."""
+    R = band.hub_row_ids.shape[0]
+    n, h = elf.shape
+    er_rows = jnp.take(erf, band.hub_row_ids, axis=0)         # [R, h]
+    rids = band.hub_row_ids.astype(jnp.int32)
+    ch = min(HUB_CHUNK, n)
+    main = (n // ch) * ch
+
+    def chunk(carry, inp):
+        aT_k, el_k, c0_k = inp
+        mask = aT_k > 0                                       # [c, R]
+        keep = _hub_keep(drop, rids[None, :], c0_k[:, None], swap=False)
+        if keep is not None:
+            mask = mask & keep
+        s = _lrelu(er_rows[None, :, :] + el_k[:, None, :], ns)  # [c, R, h]
+        return jnp.maximum(carry,
+                           jnp.max(jnp.where(mask[..., None], s, NEG),
+                                   axis=0)), None
+
+    cols = jnp.arange(n, dtype=jnp.int32)
+    tables = (band.a_row.T, elf, cols)
+    xs = tuple(t[:main].reshape(main // ch, ch, *t.shape[1:]) for t in tables)
+    m_rows, _ = jax.lax.scan(chunk, jnp.full((R, h), NEG), xs)
+    if main < n:
+        m_rows, _ = chunk(m_rows, tuple(t[main:] for t in tables))
+    return m_rows
+
+
+def _hubrow_pass_xla(band, elf, erf, m_rows, featc, ns, drop, cd,
+                     gnum_rows=None, gden_rows=None, want="sum"):
+    """One streamed pass over the hub rows.  want="sum" -> (num [R,h,d],
+    den [R,h]); want="der" -> (d_er_rows [R,h],)."""
+    R = band.hub_row_ids.shape[0]
+    n, h = elf.shape
+    d = featc.shape[-1]
+    er_rows = jnp.take(erf, band.hub_row_ids, axis=0)
+    rids = band.hub_row_ids.astype(jnp.int32)
+    ch = min(HUB_CHUNK, n)
+    main = (n // ch) * ch
+
+    def chunk(carry, inp):
+        aT_k, el_k, f_k, c0_k = inp
+        mask = aT_k > 0                                       # [c, R]
+        keep = _hub_keep(drop, rids[None, :], c0_k[:, None], swap=False)
+        if keep is not None:
+            mask = mask & keep
+        z = er_rows[None, :, :] + el_k[:, None, :]            # [c, R, h]
+        e = jnp.where(mask[..., None],
+                      aT_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                            - m_rows[None, :, :], CAP)), 0.0)
+        if want == "sum":
+            num_c = jnp.einsum("cRh,chd->Rhd", e.astype(cd), f_k,
+                               preferred_element_type=jnp.float32,
+                               precision=_prec(cd))
+            den_c = jnp.sum(e, axis=0)
+            return (carry[0] + num_c.astype(jnp.float32), carry[1] + den_c), None
+        q = jnp.einsum("Rhd,chd->cRh", gnum_rows.astype(cd), f_k,
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(cd)) + gden_rows[None, :, :]
+        t = e * q * _dlrelu(z, ns)
+        return (carry[0] + jnp.sum(t, axis=0),), None
+
+    if want == "sum":
+        init = (jnp.zeros((R, h, d), jnp.float32), jnp.zeros((R, h)))
+    else:
+        init = (jnp.zeros((R, h), jnp.float32),)
+    cols = jnp.arange(n, dtype=jnp.int32)
+    tables = (band.a_row.T, elf, featc, cols)
+    xs = tuple(t[:main].reshape(main // ch, ch, *t.shape[1:]) for t in tables)
+    carry, _ = jax.lax.scan(jax.checkpoint(chunk), init, xs)
+    if main < n:
+        carry, _ = chunk(carry, tuple(t[main:] for t in tables))
+    return carry
+
+
+def _hubrow_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, cd):
+    """d_el/d_feat for the TRANSPOSE band's hub rows (= top out-degree
+    senders' complete rows over receivers).  Returns ([Rb,h], [Rb,h,d])
+    indexed by band_bwd.hub_row_ids (sender ids)."""
+    Rb = band_bwd.hub_row_ids.shape[0]
+    n, h = elf.shape
+    d = featc.shape[-1]
+    el_rows = jnp.take(elf, band_bwd.hub_row_ids, axis=0)     # [Rb, h]
+    f_rows = jnp.take(featc, band_bwd.hub_row_ids, axis=0)    # [Rb, h, d]
+    sids = band_bwd.hub_row_ids.astype(jnp.int32)
+    ch = min(HUB_CHUNK, n)
+    main = (n // ch) * ch
+
+    def chunk(carry, inp):
+        aT_k, er_k, m_k, gn_k, gd_k, c0_k = inp               # cols = receivers
+        mask = aT_k > 0                                       # [c, Rb]
+        keep = _hub_keep(drop, c0_k[:, None], sids[None, :], swap=False)
+        if keep is not None:
+            mask = mask & keep
+        z = el_rows[None, :, :] + er_k[:, None, :]            # [c, Rb, h]
+        e = jnp.where(mask[..., None],
+                      aT_k[..., None].astype(jnp.float32)
+                      * jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                            - m_k[:, None, :], CAP)), 0.0)
+        q = jnp.einsum("Rhd,chd->cRh", f_rows, gn_k.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(cd)) + gd_k[:, None, :]
+        t = e * q * _dlrelu(z, ns)
+        d_el_c = jnp.sum(t, axis=0)                           # [Rb, h]
+        d_f_c = jnp.einsum("cRh,chd->Rhd", e.astype(cd), gn_k.astype(cd),
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(cd))
+        return (carry[0] + d_el_c, carry[1] + d_f_c.astype(jnp.float32)), None
+
+    init = (jnp.zeros((Rb, h), jnp.float32), jnp.zeros((Rb, h, d), jnp.float32))
+    cols = jnp.arange(n, dtype=jnp.int32)
+    tables = (band_bwd.a_row.T, erf, m, gnum, gden, cols)
+    xs = tuple(t[:main].reshape(main // ch, ch, *t.shape[1:]) for t in tables)
+    carry, _ = jax.lax.scan(jax.checkpoint(chunk), init, xs)
+    if main < n:
+        carry, _ = chunk(carry, tuple(t[main:] for t in tables))
+    return carry
+
+
+# ---------------------------------------------------------------------------
+# leftover (per-edge CSR — the only gathers; small by construction)
+# ---------------------------------------------------------------------------
+
+def _lo_keep(band: Band, drop: Optional[DropSpec], n: int, swap: bool):
+    valid = band.lo_dst < n
+    if drop is None:
+        return valid
+    recv, send = ((band.lo_src, band.lo_dst) if swap
+                  else (band.lo_dst, band.lo_src))
+    return valid & _hash_keep(recv.astype(jnp.int32), send.astype(jnp.int32),
+                              drop.k0, drop.k1, drop.thresh)
+
+
+def _lo_score(band, elf, erf, n, swap=False):
+    """Per-edge scores for the leftover CSR.  swap: band is a transpose band
+    (lo_src = receivers, lo_dst = senders)."""
+    src = jnp.minimum(band.lo_src, n - 1)
+    dst = jnp.minimum(band.lo_dst, n - 1)
+    s_ids, r_ids = (dst, src) if swap else (src, dst)
+    z = (jnp.take(elf, s_ids, axis=0) + jnp.take(erf, r_ids, axis=0))
+    return z, s_ids, r_ids
+
+
+def _lo_max_xla(band, elf, erf, ns, drop, n):
+    z, _, r_ids = _lo_score(band, elf, erf, n)
+    keep = _lo_keep(band, drop, n, swap=False)
+    s = jnp.where(keep[:, None], _lrelu(z, ns), NEG)
+    # segment_max fills empty segments with -inf: replace with NEG (finite)
+    out = jax.ops.segment_max(s, r_ids, n, indices_are_sorted=True)
+    return jnp.maximum(out, NEG)
+
+
+def _lo_sum_xla(band, elf, erf, m, featc, ns, drop, cd, n):
+    z, s_ids, r_ids = _lo_score(band, elf, erf, n)
+    keep = _lo_keep(band, drop, n, swap=False)
+    e = jnp.where(keep[:, None],
+                  jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                      - jnp.take(m, r_ids, axis=0), CAP)), 0.0)
+    den = jax.ops.segment_sum(e, r_ids, n, indices_are_sorted=True)
+    msg = e[..., None].astype(cd) * jnp.take(featc, s_ids, axis=0)
+    num = jax.ops.segment_sum(msg.astype(jnp.float32), r_ids, n,
+                              indices_are_sorted=True)
+    return num, den
+
+
+def _lo_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, n, cd):
+    z, s_ids, r_ids = _lo_score(band, elf, erf, n)
+    keep = _lo_keep(band, drop, n, swap=False)
+    e = jnp.where(keep[:, None],
+                  jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                      - jnp.take(m, r_ids, axis=0), CAP)), 0.0)
+    q = jnp.einsum("ehd,ehd->eh", jnp.take(gnum, r_ids, axis=0).astype(cd),
+                   jnp.take(featc, s_ids, axis=0),
+                   preferred_element_type=jnp.float32,
+                   precision=_prec(cd)) + jnp.take(gden, r_ids, axis=0)
+    t = e * q * _dlrelu(z, ns)
+    return jax.ops.segment_sum(t, r_ids, n, indices_are_sorted=True)
+
+
+def _lo_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, n, cd):
+    """d_el/d_feat over the transpose band's leftover (sender-sorted)."""
+    z, s_ids, r_ids = _lo_score(band_bwd, elf, erf, n, swap=True)
+    keep = _lo_keep(band_bwd, drop, n, swap=True)
+    e = jnp.where(keep[:, None],
+                  jnp.exp(jnp.minimum(_lrelu(z, ns)
+                                      - jnp.take(m, r_ids, axis=0), CAP)), 0.0)
+    gn_e = jnp.take(gnum, r_ids, axis=0).astype(cd)           # [E, h, d]
+    q = jnp.einsum("ehd,ehd->eh", gn_e, jnp.take(featc, s_ids, axis=0),
+                   preferred_element_type=jnp.float32,
+                   precision=_prec(cd)) + jnp.take(gden, r_ids, axis=0)
+    t = e * q * _dlrelu(z, ns)
+    # transpose band edges are sorted by ITS receivers = our senders
+    d_el = jax.ops.segment_sum(t, s_ids, n, indices_are_sorted=True)
+    d_f = jax.ops.segment_sum((e[..., None].astype(cd) * gn_e
+                               ).astype(jnp.float32), s_ids, n,
+                              indices_are_sorted=True)
+    return d_el, d_f
+
+
+# ---------------------------------------------------------------------------
+# dispatch: Mosaic kernels (window + hub columns) vs XLA emulation
+# ---------------------------------------------------------------------------
+
+def _use_kernels(band: Band, interpret) -> bool:
+    """Mosaic/interpreter kernels serve the window pass; the hub-column pass
+    joins them in-kernel only when the hub set fits the VMEM cap."""
+    if interpret == "xla":
+        return False
+    return False  # Mosaic kernels land in the next milestone
+
+
+def _hub_in_kernel(band: Band) -> bool:
+    return (band.hub_ids is not None
+            and band.hub_ids.shape[0] <= GAT_MAX_HUBS)
+
+
+def _win_max(band, elf, erf, ns, drop, interpret):
+    if _use_kernels(band, interpret):
+        return _win_max_call(band, elf, erf, ns, drop, interpret)
+    return _win_max_xla(band, elf, erf, ns, drop)
+
+
+def _win_sum(band, elf, erf, m, featc, ns, drop, cd, interpret):
+    if _use_kernels(band, interpret):
+        return _win_sum_call(band, elf, erf, m, featc, ns, drop, cd, interpret)
+    return _win_sum_xla(band, elf, erf, m, featc, ns, drop, cd)
+
+
+def _win_der(band, elf, erf, m, featc, gnum, gden, ns, drop, cd, interpret):
+    if _use_kernels(band, interpret):
+        return _win_der_call(band, elf, erf, m, featc, gnum, gden, ns, drop,
+                             cd, interpret)
+    return _win_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, cd)
+
+
+def _win_dsend(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, cd,
+               interpret):
+    if _use_kernels(band_bwd, interpret):
+        return _win_dsend_call(band_bwd, elf, erf, m, featc, gnum, gden, ns,
+                               drop, cd, interpret)
+    return _win_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop,
+                          cd)
+
+
+# ---------------------------------------------------------------------------
+# full aggregation: forward + custom VJP
+# ---------------------------------------------------------------------------
+
+def _agg_fwd_impl(feat, el, er, self_score, self_feat, self_count, bands,
+                  drop, neg_slope, cdt, interpret):
+    band = bands.fwd
+    n, h, d = feat.shape
+    ns = neg_slope
+    cd = jnp.dtype(cdt) if cdt is not None else feat.dtype
+    elf = el.astype(jnp.float32)
+    erf = er.astype(jnp.float32)
+    featc = feat.astype(cd).reshape(n, h * d)
+
+    # ---- exact per-receiver stabilizer M over ALL structures (stop-grad)
+    m = _win_max(band, elf, erf, ns, drop, interpret)
+    if band.hub_ids is not None:
+        m = jnp.maximum(m, _hubcol_max_xla(band, elf, erf, ns, drop))
+    if band.hub_row_ids is not None:
+        m_rows = _hubrow_max_xla(band, elf, erf, ns, drop)
+        m = m.at[band.hub_row_ids].max(m_rows)
+    if band.n_lo:
+        m = jnp.maximum(m, _lo_max_xla(band, elf, erf, ns, drop, n))
+    if self_score is not None:
+        m = jnp.maximum(m, self_score.astype(jnp.float32))
+    m = jax.lax.stop_gradient(m)
+
+    # ---- num/den with the shared stabilizer
+    featc3 = featc.reshape(n, h, d)
+    num, den = _win_sum(band, elf, erf, m, featc, ns, drop, cd, interpret)
+    if band.hub_ids is not None:
+        num_hc, den_hc = _hubcol_sum_xla(band, elf, erf, m, featc3, ns, drop,
+                                         cd)
+        num = num + num_hc
+        den = den + den_hc
+    if band.hub_row_ids is not None:
+        m_at_rows = jnp.take(m, band.hub_row_ids, axis=0)
+        num_hr, den_hr = _hubrow_pass_xla(band, elf, erf, m_at_rows, featc3,
+                                          ns, drop, cd, want="sum")
+        num = num.at[band.hub_row_ids].add(num_hr)
+        den = den.at[band.hub_row_ids].add(den_hr)
+    if band.n_lo:
+        num_lo, den_lo = _lo_sum_xla(band, elf, erf, m, featc3, ns, drop, cd,
+                                     n)
+        num = num + num_lo
+        den = den + den_lo
+    if self_score is not None:
+        # neighbors + {exactly one self}: the analytic term weighted
+        # (1 - #explicit-self-edges) cancels explicit self edges already
+        # counted by the structures above (they share the stabilizer m)
+        e_self = jnp.exp(self_score.astype(jnp.float32) - m)
+        coef = (1.0 - self_count.astype(jnp.float32))[:, None]
+        den = den + coef * e_self
+        num = num + (coef * e_self)[:, :, None] * self_feat.astype(jnp.float32)
+    return num, den, m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def gat_dense_agg(feat, el, er, self_score, self_feat, self_count, bands,
+                  drop, neg_slope=0.2, cdt=None, interpret=False):
+    """Hub-capable dense dst-score GAT aggregation (module docstring).
+
+    feat [N,H,D] (pre-scaled), el/er [N,H] attention logit halves (PRE
+    leaky-relu; the lrelu is applied per pair inside).  Returns (num [N,H,D]
+    f32, den [N,H] f32) — caller divides with its own den>0 guard.  The PyG
+    self flavor passes self_score/self_feat/self_count (see band.py v1
+    docstring); drop is a hash DropSpec (not composable with the self
+    flavor)."""
+    num, den, _ = _agg_fwd_impl(feat, el, er, self_score, self_feat,
+                                self_count, bands, drop, neg_slope, cdt,
+                                interpret)
+    return num, den
+
+
+def _agg_fwd(feat, el, er, self_score, self_feat, self_count, bands, drop,
+             neg_slope, cdt, interpret):
+    num, den, m = _agg_fwd_impl(feat, el, er, self_score, self_feat,
+                                self_count, bands, drop, neg_slope, cdt,
+                                interpret)
+    return (num, den), (feat, el, er, self_score, self_feat, self_count,
+                        bands, drop, m)
+
+
+def _agg_bwd(neg_slope, cdt, interpret, res, g):
+    feat, el, er, self_score, self_feat, self_count, bands, drop, m = res
+    g_num, g_den = g
+    band, bwd = bands.fwd, bands.bwd
+    n, h, d = feat.shape
+    ns = neg_slope
+    cd = jnp.dtype(cdt) if cdt is not None else feat.dtype
+    elf = el.astype(jnp.float32)
+    erf = er.astype(jnp.float32)
+    featc = feat.astype(cd).reshape(n, h * d)
+    featc3 = featc.reshape(n, h, d)
+    g_num = g_num.astype(jnp.float32)
+    g_den = g_den.astype(jnp.float32)
+
+    # ---- d_er: receiver-side sums of t over the FORWARD structures
+    d_er = _win_der(band, elf, erf, m, featc, g_num, g_den, ns, drop, cd,
+                    interpret)
+    if band.hub_ids is not None:
+        d_er = d_er + _hubcol_der_xla(band, elf, erf, m, featc3, g_num, g_den,
+                                      ns, drop, cd)
+    if band.hub_row_ids is not None:
+        m_rows = jnp.take(m, band.hub_row_ids, axis=0)
+        (der_rows,) = _hubrow_pass_xla(
+            band, elf, erf, m_rows, featc3, ns, drop, cd,
+            gnum_rows=jnp.take(g_num, band.hub_row_ids, axis=0),
+            gden_rows=jnp.take(g_den, band.hub_row_ids, axis=0), want="der")
+        d_er = d_er.at[band.hub_row_ids].add(der_rows)
+    if band.n_lo:
+        d_er = d_er + _lo_der_xla(band, elf, erf, m, featc3, g_num, g_den, ns,
+                                  drop, n, cd)
+
+    # ---- d_el / d_feat: sender-side sums over the TRANSPOSE structures
+    d_el, d_feat = _win_dsend(bwd, elf, erf, m, featc, g_num, g_den, ns, drop,
+                              cd, interpret)
+    if bwd.hub_ids is not None:
+        del_hc, df_hc = _hubcol_dsend_xla(bwd, elf, erf, m, featc3, g_num,
+                                          g_den, ns, drop, cd)
+        d_el = d_el + del_hc
+        d_feat = d_feat + df_hc
+    if bwd.hub_row_ids is not None:
+        del_hr, df_hr = _hubrow_dsend_xla(bwd, elf, erf, m, featc3, g_num,
+                                          g_den, ns, drop, cd)
+        d_el = d_el.at[bwd.hub_row_ids].add(del_hr)
+        d_feat = d_feat.at[bwd.hub_row_ids].add(df_hr)
+    if bwd.n_lo:
+        del_lo, df_lo = _lo_dsend_xla(bwd, elf, erf, m, featc3, g_num, g_den,
+                                      ns, drop, n, cd)
+        d_el = d_el + del_lo
+        d_feat = d_feat + df_lo
+
+    # ---- self flavor
+    d_ss = d_sf = None
+    if self_score is not None:
+        e_self = jnp.exp(self_score.astype(jnp.float32) - m)
+        coef = (1.0 - self_count.astype(jnp.float32))[:, None]
+        qs = (jnp.einsum("nhd,nhd->nh", g_num,
+                         self_feat.astype(jnp.float32)) + g_den)
+        d_ss = (coef * e_self * qs).astype(self_score.dtype)
+        d_sf = ((coef * e_self)[:, :, None] * g_num).astype(self_feat.dtype)
+
+    return (d_feat.astype(feat.dtype), d_el.astype(el.dtype),
+            d_er.astype(er.dtype), d_ss, d_sf, None, None, None)
+
+
+gat_dense_agg.defvjp(_agg_fwd, _agg_bwd)

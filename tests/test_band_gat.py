@@ -185,14 +185,84 @@ def test_symgat_dense_dst_score_matches_segment_path(rng_np):
                                        rtol=4e-3, atol=4e-4)
 
 
-def test_dense_dst_gate_requires_hub_free(rng_np):
+def test_dense_dst_gate_hub_capable(rng_np):
+    """Round 5: the dense dst-score route serves hub structures too (its own
+    dense score passes share the stabilizer) — only coverage still gates."""
     from deep_gcns_torch_tpu.ops.band import band_gat_dense_ok
 
     g = make_graph(rng_np, hubby=True)  # hub structures present
     assert g.band.fwd.hub_ids is not None
-    assert band_gat_dense_ok(g) is False
+    assert band_gat_dense_ok(g) is True
     g2 = make_graph(rng_np, hubby=False)
     assert band_gat_dense_ok(g2) is True
+    assert band_gat_dense_ok(g2, min_coverage=1.01) is False
+
+
+def test_symgat_dense_dst_score_hubby_matches_segment_path(rng_np):
+    """use_attn_dst=True on a HUBBY band (hub cols + hub rows + leftover):
+    fwd + grads match the segment path, with and without hash edge-drop."""
+    g = make_graph(rng_np, n=512, deg=8, hubby=True)
+    f = g.band.fwd
+    assert f.hub_ids is not None and f.hub_row_ids is not None
+    conv = SymGATConv(32, 16, num_heads=3, use_attn_dst=True,
+                      use_symmetric_norm=True, residual=True, edge_drop=0.4)
+    params, _ = conv.init(jax.random.PRNGKey(0))
+    xj = jnp.asarray(np.asarray(g.x))
+
+    from deep_gcns_torch_tpu.ops.band import drop_key_bits
+    dk = drop_key_bits(jax.random.PRNGKey(3))
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 3, 16))
+                     .astype(np.float32))
+
+    for kwargs in ({}, {"train": True, "drop_key": dk}):
+        def loss(p, x_, graph):
+            out, _ = conv.apply(p, {}, x_, graph, **kwargs)
+            return jnp.sum(out * co)
+
+        l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xj, g)
+        l2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(
+            params, xj, g.replace(band=None))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=4e-3, atol=4e-4)
+
+
+def test_pyg_gatconv_dense_band_hubby_matches_segment_path(rng_np):
+    """PyG-flavor GATConv (analytic self) on a hubby band — the self_count
+    cancellation must compose with the hub structures."""
+    from deep_gcns_torch_tpu.convs.sparse import GATConv
+
+    n = 512
+    w = (1.0 / (1.0 + np.arange(n, dtype=np.float64))) ** 0.9
+    rng_np.shuffle(w)
+    s = rng_np.choice(n, n * 6, p=w / w.sum())
+    r = np.clip(s + rng_np.integers(-80, 81, n * 6), 0, n - 1)
+    self_ids = rng_np.choice(n, n // 3, replace=False)
+    s = np.concatenate([s, self_ids])
+    r = np.concatenate([r, self_ids])
+    x = rng_np.standard_normal((n, 32)).astype(np.float32)
+    g = attach_band(build_graph(x, s, r, num_nodes=n), window=256, hubs=64)
+    assert g.band.fwd.hub_ids is not None
+    conv = GATConv(32, 16, heads=2, act="relu", norm=None)
+    params, state = conv.init(jax.random.PRNGKey(0))
+    xj = jnp.asarray(np.asarray(g.x))
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 32))
+                     .astype(np.float32))
+
+    def loss(p, x_, graph):
+        out, _ = conv.apply(p, state, x_, graph)
+        return jnp.sum(out * co)
+
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xj, g)
+    l2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(
+        params, xj, g.replace(band=None))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=4e-3,
+                                   atol=4e-4)
 
 
 def test_pyg_gatconv_dense_band_matches_segment_path(rng_np):
