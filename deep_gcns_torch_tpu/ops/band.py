@@ -82,6 +82,13 @@ class Band:
     a_hub: Optional[Array] = None         # [N_pad, H] int8 (padded cols zero)
     hub_row_ids: Optional[Array] = None   # [R] int32 receiver ids (0-padded)
     a_row: Optional[Array] = None         # [R, N_pad] int8 (padded rows zero)
+    # transposed copies for the dense GAT kernels (ops/gat_dense.py): per-block
+    # [W, BN] count tiles stacked [NB*W, BN], and a_hub^T [H, N_pad].  Host-
+    # precomputed (an XLA int8 transpose of the 130MB arxiv-scale A costs
+    # ~3.4 ms per layer call); None when built with store_transpose=False —
+    # gat_dense then transposes on the fly.
+    a_t: Optional[Array] = None           # [NB*W, BN] int8
+    a_hub_t: Optional[Array] = None       # [H, N_pad] int8
     window: int = field(default=512, metadata=dict(static=True))
     n_edges: int = field(default=0, metadata=dict(static=True))
     n_lo: int = field(default=0, metadata=dict(static=True))
@@ -373,15 +380,31 @@ def _build_window(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
                 n_edges=n_edges, n_lo=n_lo)
 
 
+def _with_transposes(band: Band) -> Band:
+    """Attach the host-transposed tiles the dense GAT kernels read."""
+    import dataclasses
+
+    n_pad, w = band.a.shape
+    nb = n_pad // BN
+    a_t = np.ascontiguousarray(
+        np.asarray(band.a).reshape(nb, BN, w).swapaxes(1, 2)).reshape(-1, BN)
+    a_hub_t = (np.ascontiguousarray(np.asarray(band.a_hub).T)
+               if band.a_hub is not None else None)
+    return dataclasses.replace(band, a_t=a_t, a_hub_t=a_hub_t)
+
+
 def build_band_pair(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
-                    window="auto", hubs="auto") -> BandPair:
+                    window="auto", hubs="auto",
+                    store_transpose: bool = True) -> BandPair:
     """Host-side band structures for A (forward) and Aᵀ (backward).
 
     senders/receivers are VALID edges only (strip padding sentinels first);
     n_pad must be a BN multiple; window a 128-multiple ≤ n_pad, or "auto"
     (per-direction coverage/DMA-cost scan over AUTO_WINDOWS).  ``hubs``:
     "auto" extracts nodes with degree ≥ 256 into dense hub matmuls (no-op on
-    uniform-degree graphs), an int overrides the threshold, None disables."""
+    uniform-degree graphs), an int overrides the threshold, None disables.
+    ``store_transpose``: also keep the transposed count tiles the dense GAT
+    kernels read (ops/gat_dense.py) — ~2x the A bytes on host and device."""
     assert n_pad % BN == 0, n_pad
     if window != "auto":
         window = min(window, n_pad)
@@ -390,6 +413,8 @@ def build_band_pair(senders: np.ndarray, receivers: np.ndarray, n_pad: int,
     receivers = np.asarray(receivers, np.int64)
     fwd = _build_one(senders, receivers, n_pad, window, hubs)
     bwd = _build_one(receivers, senders, n_pad, window, hubs)
+    if store_transpose:
+        fwd, bwd = _with_transposes(fwd), _with_transposes(bwd)
     return BandPair(fwd=fwd, bwd=bwd)
 
 

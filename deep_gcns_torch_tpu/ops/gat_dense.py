@@ -575,20 +575,33 @@ def _lo_max_xla(band, elf, erf, ns, drop, n):
     return jnp.maximum(out, NEG)
 
 
-def _lo_sum_xla(band, elf, erf, m, featc, ns, drop, cd, n):
+def _lo_sum_xla(band, elf, erf, m, featc, ns, drop, cd, n, interpret=False):
+    """Leftover num/den: per-edge e then ONE CSR segment sum of the packed
+    [e*feat | e] table (the streamed spmm_pallas kernel — XLA's scatter-based
+    segment_sum measured 41 ms at 256k edges vs ~3 ms through the CSR
+    kernel)."""
+    from .spmm_pallas import segment_sum_csr
+
+    h, d = featc.shape[1], featc.shape[2]
     z, s_ids, r_ids = _lo_score(band, elf, erf, n)
     keep = _lo_keep(band, drop, n, swap=False)
     e = jnp.where(keep[:, None],
                   jnp.exp(jnp.minimum(_lrelu(z, ns)
                                       - jnp.take(m, r_ids, axis=0), CAP)), 0.0)
-    den = jax.ops.segment_sum(e, r_ids, n, indices_are_sorted=True)
-    msg = e[..., None].astype(cd) * jnp.take(featc, s_ids, axis=0)
-    num = jax.ops.segment_sum(msg.astype(jnp.float32), r_ids, n,
-                              indices_are_sorted=True)
+    msg = (e[..., None].astype(cd)
+           * jnp.take(featc, s_ids, axis=0)).reshape(-1, h * d)
+    packed = jnp.concatenate([msg, e.astype(cd)], axis=1)
+    agg = segment_sum_csr(jax.lax.stop_gradient(packed), band.lo_dst,
+                          band.lo_row_ptr, interpret)
+    num = agg[:, :h * d].astype(jnp.float32).reshape(n, h, d)
+    den = agg[:, h * d:].astype(jnp.float32)
     return num, den
 
 
-def _lo_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, n, cd):
+def _lo_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, n, cd,
+                interpret=False):
+    from .spmm_pallas import segment_sum_csr
+
     z, s_ids, r_ids = _lo_score(band, elf, erf, n)
     keep = _lo_keep(band, drop, n, swap=False)
     e = jnp.where(keep[:, None],
@@ -599,11 +612,16 @@ def _lo_der_xla(band, elf, erf, m, featc, gnum, gden, ns, drop, n, cd):
                    preferred_element_type=jnp.float32,
                    precision=_prec(cd)) + jnp.take(gden, r_ids, axis=0)
     t = e * q * _dlrelu(z, ns)
-    return jax.ops.segment_sum(t, r_ids, n, indices_are_sorted=True)
+    agg = segment_sum_csr(jax.lax.stop_gradient(t), band.lo_dst,
+                          band.lo_row_ptr, interpret)
+    return agg.astype(jnp.float32)
 
 
-def _lo_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, n, cd):
+def _lo_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, n, cd,
+                  interpret=False):
     """d_el/d_feat over the transpose band's leftover (sender-sorted)."""
+    from .spmm_pallas import segment_sum_csr
+
     z, s_ids, r_ids = _lo_score(band_bwd, elf, erf, n, swap=True)
     keep = _lo_keep(band_bwd, drop, n, swap=True)
     e = jnp.where(keep[:, None],
@@ -614,11 +632,16 @@ def _lo_dsend_xla(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, n, cd):
                    preferred_element_type=jnp.float32,
                    precision=_prec(cd)) + jnp.take(gden, r_ids, axis=0)
     t = e * q * _dlrelu(z, ns)
-    # transpose band edges are sorted by ITS receivers = our senders
-    d_el = jax.ops.segment_sum(t, s_ids, n, indices_are_sorted=True)
-    d_f = jax.ops.segment_sum((e[..., None].astype(cd) * gn_e
-                               ).astype(jnp.float32), s_ids, n,
-                              indices_are_sorted=True)
+    # transpose band edges are sorted by ITS receivers = our senders: one CSR
+    # segment sum of the packed [e*gnum | t] table over the bwd leftover
+    h, d = featc.shape[1], featc.shape[2]
+    packed = jnp.concatenate(
+        [(e[..., None].astype(cd) * gn_e).reshape(-1, h * d),
+         t.astype(cd)], axis=1)
+    agg = segment_sum_csr(jax.lax.stop_gradient(packed), band_bwd.lo_dst,
+                          band_bwd.lo_row_ptr, interpret)
+    d_f = agg[:, :h * d].astype(jnp.float32).reshape(n, h, d)
+    d_el = agg[:, h * d:].astype(jnp.float32)
     return d_el, d_f
 
 
@@ -631,7 +654,7 @@ def _use_kernels(band: Band, interpret) -> bool:
     joins them in-kernel only when the hub set fits the VMEM cap."""
     if interpret == "xla":
         return False
-    return False  # Mosaic kernels land in the next milestone
+    return True
 
 
 def _hub_in_kernel(band: Band) -> bool:
@@ -639,16 +662,10 @@ def _hub_in_kernel(band: Band) -> bool:
             and band.hub_ids.shape[0] <= GAT_MAX_HUBS)
 
 
-def _win_max(band, elf, erf, ns, drop, interpret):
-    if _use_kernels(band, interpret):
-        return _win_max_call(band, elf, erf, ns, drop, interpret)
-    return _win_max_xla(band, elf, erf, ns, drop)
-
-
-def _win_sum(band, elf, erf, m, featc, ns, drop, cd, interpret):
-    if _use_kernels(band, interpret):
-        return _win_sum_call(band, elf, erf, m, featc, ns, drop, cd, interpret)
-    return _win_sum_xla(band, elf, erf, m, featc, ns, drop, cd)
+def _hub_in_kernel_call(band: Band, interpret) -> bool:
+    """True when the window kernel call consumed the hub columns (so the XLA
+    hub-column pass must NOT run again)."""
+    return _use_kernels(band, interpret) and _hub_in_kernel(band)
 
 
 def _win_der(band, elf, erf, m, featc, gnum, gden, ns, drop, cd, interpret):
@@ -681,23 +698,36 @@ def _agg_fwd_impl(feat, el, er, self_score, self_feat, self_count, bands,
     erf = er.astype(jnp.float32)
     featc = feat.astype(cd).reshape(n, h * d)
 
-    # ---- exact per-receiver stabilizer M over ALL structures (stop-grad)
-    m = _win_max(band, elf, erf, ns, drop, interpret)
-    if band.hub_ids is not None:
-        m = jnp.maximum(m, _hubcol_max_xla(band, elf, erf, ns, drop))
+    # ---- exact per-receiver stabilizer M over ALL structures (stop-grad).
+    # The cheap XLA parts contribute their maxima first (m_other); the fused
+    # window kernel completes M = max(window, in-kernel hubs, m_other) in one
+    # pass and evaluates its num/den against it.
+    hub_in_k = _hub_in_kernel_call(band, interpret)
+    m_other = jnp.full((n, h), NEG, jnp.float32)
+    if band.hub_ids is not None and not hub_in_k:
+        m_other = jnp.maximum(m_other, _hubcol_max_xla(band, elf, erf, ns,
+                                                       drop))
     if band.hub_row_ids is not None:
         m_rows = _hubrow_max_xla(band, elf, erf, ns, drop)
-        m = m.at[band.hub_row_ids].max(m_rows)
+        m_other = m_other.at[band.hub_row_ids].max(m_rows)
     if band.n_lo:
-        m = jnp.maximum(m, _lo_max_xla(band, elf, erf, ns, drop, n))
+        m_other = jnp.maximum(m_other, _lo_max_xla(band, elf, erf, ns, drop,
+                                                   n))
     if self_score is not None:
-        m = jnp.maximum(m, self_score.astype(jnp.float32))
-    m = jax.lax.stop_gradient(m)
+        m_other = jnp.maximum(m_other, self_score.astype(jnp.float32))
+    m_other = jax.lax.stop_gradient(m_other)
 
     # ---- num/den with the shared stabilizer
     featc3 = featc.reshape(n, h, d)
-    num, den = _win_sum(band, elf, erf, m, featc, ns, drop, cd, interpret)
-    if band.hub_ids is not None:
+    if _use_kernels(band, interpret):
+        num, den, m = _win_fused_call(band, elf, erf, m_other, featc, ns,
+                                      drop, cd, interpret)
+        m = jax.lax.stop_gradient(m)
+    else:
+        m = jnp.maximum(_win_max_xla(band, elf, erf, ns, drop), m_other)
+        m = jax.lax.stop_gradient(m)
+        num, den = _win_sum_xla(band, elf, erf, m, featc, ns, drop, cd)
+    if band.hub_ids is not None and not hub_in_k:
         num_hc, den_hc = _hubcol_sum_xla(band, elf, erf, m, featc3, ns, drop,
                                          cd)
         num = num + num_hc
@@ -710,7 +740,7 @@ def _agg_fwd_impl(feat, el, er, self_score, self_feat, self_count, bands,
         den = den.at[band.hub_row_ids].add(den_hr)
     if band.n_lo:
         num_lo, den_lo = _lo_sum_xla(band, elf, erf, m, featc3, ns, drop, cd,
-                                     n)
+                                     n, interpret)
         num = num + num_lo
         den = den + den_lo
     if self_score is not None:
@@ -767,7 +797,7 @@ def _agg_bwd(neg_slope, cdt, interpret, res, g):
     # ---- d_er: receiver-side sums of t over the FORWARD structures
     d_er = _win_der(band, elf, erf, m, featc, g_num, g_den, ns, drop, cd,
                     interpret)
-    if band.hub_ids is not None:
+    if band.hub_ids is not None and not _hub_in_kernel_call(band, interpret):
         d_er = d_er + _hubcol_der_xla(band, elf, erf, m, featc3, g_num, g_den,
                                       ns, drop, cd)
     if band.hub_row_ids is not None:
@@ -779,12 +809,12 @@ def _agg_bwd(neg_slope, cdt, interpret, res, g):
         d_er = d_er.at[band.hub_row_ids].add(der_rows)
     if band.n_lo:
         d_er = d_er + _lo_der_xla(band, elf, erf, m, featc3, g_num, g_den, ns,
-                                  drop, n, cd)
+                                  drop, n, cd, interpret)
 
     # ---- d_el / d_feat: sender-side sums over the TRANSPOSE structures
     d_el, d_feat = _win_dsend(bwd, elf, erf, m, featc, g_num, g_den, ns, drop,
                               cd, interpret)
-    if bwd.hub_ids is not None:
+    if bwd.hub_ids is not None and not _hub_in_kernel_call(bwd, interpret):
         del_hc, df_hc = _hubcol_dsend_xla(bwd, elf, erf, m, featc3, g_num,
                                           g_den, ns, drop, cd)
         d_el = d_el + del_hc
@@ -796,7 +826,7 @@ def _agg_bwd(neg_slope, cdt, interpret, res, g):
         d_feat = d_feat.at[bwd.hub_row_ids].add(df_hr)
     if bwd.n_lo:
         del_lo, df_lo = _lo_dsend_xla(bwd, elf, erf, m, featc3, g_num, g_den,
-                                      ns, drop, n, cd)
+                                      ns, drop, n, cd, interpret)
         d_el = d_el + del_lo
         d_feat = d_feat + df_lo
 
@@ -815,3 +845,549 @@ def _agg_bwd(neg_slope, cdt, interpret, res, g):
 
 
 gat_dense_agg.defvjp(_agg_fwd, _agg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Mosaic kernels: window + (optionally) hub columns, transposed orientation.
+#
+# Per 128-receiver block the count tile arrives TRANSPOSED ([W, 128]: window
+# sublanes x receiver lanes) so window tables broadcast as columns and
+# er/den/m rows live in lane-blocked [8, N] tables.  Mosaic requires DMA and
+# slice shapes lane-aligned to 128, so every narrow table rides a 128-lane
+# container (heads at fixed column offsets) and single head rows/columns are
+# extracted with iota-mask reduces — no sub-tile slicing anywhere; per-head
+# feature blocks are padded to 128-lane multiples (dp) so their slices are
+# aligned.  Scores/exp run f32 on the VPU; the weighted aggregation is one
+# dot_general per head per block on the MXU.  The [*, W, H]-score tensors of
+# the r4 XLA route never exist in HBM.
+# ---------------------------------------------------------------------------
+
+H8 = 8  # head rows per 128-lane container section (er @ 0, m @ 8, gden @ 16)
+
+
+def _dp(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _t8(x: Array) -> Array:
+    """[N, h] f32 -> [H8, N] (pad heads to 8, transpose): lane-blocked rows."""
+    n, h = x.shape
+    assert h <= H8, h
+    return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, H8 - h))).T
+
+
+def _pack128(*tables: Array) -> Array:
+    """Pack [N, h] f32 tables into one [N, 128] container, table k's heads at
+    columns [k*8, k*8+h) — one aligned DMA serves them all."""
+    n = tables[0].shape[0]
+    cols = []
+    for t in tables:
+        h = t.shape[1]
+        cols.append(jnp.pad(t.astype(jnp.float32), ((0, 0), (0, H8 - h))))
+    pk = jnp.concatenate(cols, axis=1)
+    return jnp.pad(pk, ((0, 0), (0, 128 - pk.shape[1])))
+
+
+def _pad_heads(x3: Array, dp: int) -> Array:
+    """[N, h, d] -> [N, h*dp] with head hh at aligned columns [hh*dp, hh*dp+d)."""
+    n, h, d = x3.shape
+    if d == dp:
+        return x3.reshape(n, h * dp)
+    return jnp.pad(x3, ((0, 0), (0, 0), (0, dp - d))).reshape(n, h * dp)
+
+
+def _unpad_heads(x2: Array, h: int, d: int, dp: int) -> Array:
+    n = x2.shape[0]
+    if d == dp:
+        return x2.reshape(n, h, d)
+    return x2.reshape(n, h, dp)[:, :, :d]
+
+
+def _a_t(band: Band) -> Array:
+    """Per-block transposed count tiles [nb*W, BN] (a_t[b*W+w, r] =
+    a[b*BN+r, w]); host-precomputed when the band was built with
+    store_transpose (build_band_pair), else an on-the-fly XLA transpose
+    (~3.4 ms at arxiv scale)."""
+    if band.a_t is not None:
+        return band.a_t
+    n_pad, w = band.a.shape
+    nb = n_pad // BN
+    return band.a.reshape(nb, BN, w).swapaxes(1, 2).reshape(nb * w, BN)
+
+
+def _a_hub_t(band: Band) -> Array:
+    return band.a_hub_t if band.a_hub_t is not None else band.a_hub.T
+
+
+def _lane_pick(tile, idx):
+    """[R, L] * (lane == idx) summed over lanes -> [R, 1] (aligned extract)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+    return jnp.sum(jnp.where(iota == idx, tile, 0.0), axis=1, keepdims=True)
+
+
+def _row_pick(tile, idx):
+    """[S, L] * (sublane == idx) summed over sublanes -> [1, L]."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+    return jnp.sum(jnp.where(iota == idx, tile, 0.0), axis=0, keepdims=True)
+
+
+def _row_place(acc, row, idx):
+    """Place [1, L] ``row`` at sublane idx of [S, L] ``acc`` (masked add)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    return acc + jnp.where(iota == idx, row, 0.0)
+
+
+def _win_drop_plane(i, wlo_i, w, thresh, dk, swap):
+    """[W, BN] keep plane: sublanes = window ids, lanes = block ids."""
+    blk = i * BN + jax.lax.broadcasted_iota(jnp.int32, (w, BN), 1)
+    win = wlo_i + jax.lax.broadcasted_iota(jnp.int32, (w, BN), 0)
+    recv, send = (win, blk) if swap else (blk, win)
+    return _hash_keep(recv, send, dk[0], dk[1], thresh)
+
+
+def _hub_drop_plane(i, ids_ref, n_hub, thresh, dk, swap):
+    """[H, BN] keep plane: sublanes = hub ids, lanes = block ids."""
+    blk = i * BN + jax.lax.broadcasted_iota(jnp.int32, (n_hub, BN), 1)
+    hub = ids_ref[...] + jnp.zeros((1, BN), jnp.int32)
+    recv, send = (hub, blk) if swap else (blk, hub)
+    return _hash_keep(recv, send, dk[0], dk[1], thresh)
+
+
+def _start(copies):
+    for c in copies:
+        c.start()
+
+
+def _wait(copies):
+    for c in copies:
+        c.wait()
+
+
+def _k_der(*refs, w, h, d, dp, ns, hub, thresh, cdk):
+    """Backward receiver side: d_er row sums of t over window (+ hub cols)."""
+    idx = 0
+    wlo = refs[idx]; idx += 1
+    dk = None
+    if thresh is not None:
+        dk = refs[idx]; idx += 1
+    at_ref = refs[idx]; ert = refs[idx + 1]; mt = refs[idx + 2]
+    gdt = refs[idx + 3]; gn_ref = refs[idx + 4]; idx += 5
+    if hub:
+        aht = refs[idx]; elh = refs[idx + 1]; fh = refs[idx + 2]
+        idsv = refs[idx + 3]; idx += 4
+    el_hbm = refs[idx]; f_hbm = refs[idx + 1]; idx += 2
+    der_out = refs[idx]; idx += 1
+    elw, fw, sem = refs[idx], refs[idx + 1], refs[idx + 2]
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    prec = _prec(cdk)
+
+    def cp(j, slot):
+        lo = pl.multiple_of(wlo[j], ALIGN)
+        return [pltpu.make_async_copy(el_hbm.at[pl.ds(lo, w), :],
+                                      elw.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(f_hbm.at[pl.ds(lo, w), :],
+                                     fw.at[slot], sem.at[slot, 1])]
+
+    @pl.when(i == 0)
+    def _():
+        _start(cp(0, 0))
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _start(cp(i + 1, (i + 1) % 2))
+
+    _wait(cp(i, i % 2))
+    a = at_ref[...].astype(jnp.float32)
+    valid = a > 0
+    if thresh is not None:
+        valid &= _win_drop_plane(i, wlo[i], w, thresh, dk, swap=False)
+    if hub:
+        ah = aht[...].astype(jnp.float32)
+        validh = ah > 0
+        if thresh is not None:
+            validh &= _hub_drop_plane(i, idsv, aht.shape[0], thresh, dk,
+                                      swap=False)
+        elh_t = elh[...]
+    ert_t = ert[...]
+    mt_t = mt[...]
+    gdt_t = gdt[...]
+    elw_t = elw[i % 2]
+    der_all = jnp.zeros((H8, BN), jnp.float32)
+    for hh in range(h):
+        er_row = _row_pick(ert_t, hh)
+        m_row = _row_pick(mt_t, hh)
+        gd_row = _row_pick(gdt_t, hh)
+        gn_h = gn_ref[:, hh * dp:hh * dp + dp]           # [BN, dp]
+        el_col = _lane_pick(elw_t, hh)
+        z = el_col + er_row
+        e = jnp.where(valid,
+                      a * jnp.exp(jnp.minimum(_lrelu(z, ns) - m_row, CAP)),
+                      0.0)
+        q = jax.lax.dot_general(
+            fw[i % 2][:, hh * dp:hh * dp + dp], gn_h,
+            (((1,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32) + gd_row
+        t = e * q * _dlrelu(z, ns)
+        der = jnp.sum(t, axis=0, keepdims=True)
+        if hub:
+            zh = _lane_pick(elh_t, hh) + er_row
+            eh = jnp.where(validh,
+                           ah * jnp.exp(jnp.minimum(_lrelu(zh, ns) - m_row,
+                                                    CAP)), 0.0)
+            qh = jax.lax.dot_general(
+                fh[:, hh * dp:hh * dp + dp], gn_h,
+                (((1,), (1,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32) + gd_row
+            der = der + jnp.sum(eh * qh * _dlrelu(zh, ns), axis=0,
+                                keepdims=True)
+        der_all = _row_place(der_all, der, hh)
+    der_out[...] = der_all
+
+
+def _k_dsend(*refs, w, h, d, dp, ns, hub, thresh, cdk):
+    """Backward sender side over the TRANSPOSE band: block = 128 senders,
+    window over receivers.  d_el row sums + d_feat MXU accumulation,
+    + the transpose band's hub columns (top in-degree receivers).  The
+    receiver-side narrow tables (er/m/gden) ride ONE packed [N, 128] window
+    (offsets 0/8/16)."""
+    idx = 0
+    wlo = refs[idx]; idx += 1
+    dk = None
+    if thresh is not None:
+        dk = refs[idx]; idx += 1
+    at_ref = refs[idx]; elt = refs[idx + 1]; f_ref = refs[idx + 2]; idx += 3
+    if hub:
+        aht = refs[idx]; pkh = refs[idx + 1]; gnh = refs[idx + 2]
+        idsv = refs[idx + 3]; idx += 4
+    pk_hbm = refs[idx]; gn_hbm = refs[idx + 1]; idx += 2
+    del_out = refs[idx]; df_out = refs[idx + 1]; idx += 2
+    pkw, gnw, sem = refs[idx], refs[idx + 1], refs[idx + 2]
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    prec = _prec(cdk)
+
+    def cp(j, slot):
+        lo = pl.multiple_of(wlo[j], ALIGN)
+        return [pltpu.make_async_copy(pk_hbm.at[pl.ds(lo, w), :],
+                                      pkw.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(gn_hbm.at[pl.ds(lo, w), :],
+                                     gnw.at[slot], sem.at[slot, 1])]
+
+    @pl.when(i == 0)
+    def _():
+        _start(cp(0, 0))
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _start(cp(i + 1, (i + 1) % 2))
+
+    _wait(cp(i, i % 2))
+    a = at_ref[...].astype(jnp.float32)
+    valid = a > 0
+    if thresh is not None:
+        valid &= _win_drop_plane(i, wlo[i], w, thresh, dk, swap=True)
+    if hub:
+        ah = aht[...].astype(jnp.float32)
+        validh = ah > 0
+        if thresh is not None:
+            validh &= _hub_drop_plane(i, idsv, aht.shape[0], thresh, dk,
+                                      swap=True)
+        pkh_t = pkh[...]
+    elt_t = elt[...]
+    pk_t = pkw[i % 2]
+    del_all = jnp.zeros((H8, BN), jnp.float32)
+    for hh in range(h):
+        el_row = _row_pick(elt_t, hh)                    # [1, BN] senders
+        er_col = _lane_pick(pk_t, hh)                    # [W, 1] receivers
+        m_col = _lane_pick(pk_t, H8 + hh)
+        gd_col = _lane_pick(pk_t, 2 * H8 + hh)
+        gn_h = gnw[i % 2][:, hh * dp:hh * dp + dp]       # [W, dp]
+        f_h = f_ref[:, hh * dp:hh * dp + dp]             # [BN, dp]
+        z = er_col + el_row
+        e = jnp.where(valid,
+                      a * jnp.exp(jnp.minimum(_lrelu(z, ns) - m_col, CAP)),
+                      0.0)
+        q = jax.lax.dot_general(
+            gn_h, f_h, (((1,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32) + gd_col
+        t = e * q * _dlrelu(z, ns)
+        d_el = jnp.sum(t, axis=0, keepdims=True)
+        df = jax.lax.dot_general(
+            e.astype(cdk), gn_h, (((0,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        if hub:
+            zh = _lane_pick(pkh_t, hh) + el_row          # [Hb, BN]
+            eh = jnp.where(validh,
+                           ah * jnp.exp(jnp.minimum(
+                               _lrelu(zh, ns) - _lane_pick(pkh_t, H8 + hh),
+                               CAP)), 0.0)
+            gnh_h = gnh[:, hh * dp:hh * dp + dp]         # [Hb, dp]
+            qh = jax.lax.dot_general(
+                gnh_h, f_h, (((1,), (1,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32) \
+                + _lane_pick(pkh_t, 2 * H8 + hh)
+            d_el = d_el + jnp.sum(eh * qh * _dlrelu(zh, ns), axis=0,
+                                  keepdims=True)
+            df = df + jax.lax.dot_general(
+                eh.astype(cdk), gnh_h, (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+        del_all = _row_place(del_all, d_el, hh)
+        df_out[:, hh * dp:hh * dp + dp] = df
+    del_out[...] = del_all
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _blk_at(w):
+    return pl.BlockSpec((w, BN), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _blk_lane(rows):
+    return pl.BlockSpec((rows, BN), lambda i, *_: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _blk_row(c):
+    return pl.BlockSpec((BN, c), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _any():
+    return pl.BlockSpec(memory_space=pl.ANY)
+
+
+def _scalar_args(band, drop):
+    args = [band.w_lo]
+    if drop is not None:
+        args.append(jnp.stack([drop.k0, drop.k1]).astype(jnp.int32))
+    return args, (1 if drop is None else 2)
+
+
+def _ids_v(band):
+    return band.hub_ids[:, None].astype(jnp.int32)
+
+
+def _interp(interpret):
+    return True if interpret is True else False
+
+
+def _win_der_call(band, elf, erf, m, featc, gnum, gden, ns, drop, cd,
+                  interpret):
+    from .spmm_pallas import _out_struct
+
+    n, h = erf.shape
+    d = featc.shape[1] // h
+    dp = _dp(d)
+    nb = n // BN
+    w = band.window
+    hub = _hub_in_kernel(band)
+    args, npre = _scalar_args(band, drop)
+    featp = _pad_heads(featc.reshape(n, h, d), dp)
+    gnump = _pad_heads(gnum, dp).astype(cd)
+    inputs = [_a_t(band), _t8(erf), _t8(m), _t8(gden), gnump]
+    specs = [_blk_at(w), _blk_lane(H8), _blk_lane(H8), _blk_lane(H8),
+             _blk_row(h * dp)]
+    if hub:
+        H = band.hub_ids.shape[0]
+        inputs += [_a_hub_t(band), _pack128(jnp.take(elf, band.hub_ids, axis=0)),
+                   jnp.take(featp, band.hub_ids, axis=0), _ids_v(band)]
+        specs += [_blk_lane(H), _full(), _full(), _full()]
+    inputs += [_pack128(elf), featp]
+    specs += [_any(), _any()]
+    kernel = functools.partial(
+        _k_der, w=w, h=h, d=d, dp=dp, ns=ns, hub=hub,
+        thresh=None if drop is None else drop.thresh, cdk=cd)
+    der_t = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=npre, grid=(nb,), in_specs=specs,
+            out_specs=_blk_lane(H8),
+            scratch_shapes=[pltpu.VMEM((2, w, 128), jnp.float32),
+                            pltpu.VMEM((2, w, h * dp), cd),
+                            pltpu.SemaphoreType.DMA((2, 2))]),
+        out_shape=_out_struct((H8, n), jnp.float32, erf),
+        interpret=_interp(interpret),
+    )(*args, *inputs)
+    return der_t[:h].T
+
+
+def _win_dsend_call(band_bwd, elf, erf, m, featc, gnum, gden, ns, drop, cd,
+                    interpret):
+    from .spmm_pallas import _out_struct
+
+    n, h = elf.shape
+    d = featc.shape[1] // h
+    dp = _dp(d)
+    nb = n // BN
+    w = band_bwd.window
+    hub = _hub_in_kernel(band_bwd)
+    args, npre = _scalar_args(band_bwd, drop)
+    featp = _pad_heads(featc.reshape(n, h, d), dp)
+    gnump = _pad_heads(gnum, dp).astype(cd)
+    pk = _pack128(erf, m, gden)
+    inputs = [_a_t(band_bwd), _t8(elf), featp]
+    specs = [_blk_at(w), _blk_lane(H8), _blk_row(h * dp)]
+    if hub:
+        H = band_bwd.hub_ids.shape[0]
+        inputs += [_a_hub_t(band_bwd),
+                   jnp.take(pk, band_bwd.hub_ids, axis=0),
+                   jnp.take(gnump, band_bwd.hub_ids, axis=0),
+                   _ids_v(band_bwd)]
+        specs += [_blk_lane(H), _full(), _full(), _full()]
+    inputs += [pk, gnump]
+    specs += [_any(), _any()]
+    kernel = functools.partial(
+        _k_dsend, w=w, h=h, d=d, dp=dp, ns=ns, hub=hub,
+        thresh=None if drop is None else drop.thresh, cdk=cd)
+    del_t, d_feat = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=npre, grid=(nb,), in_specs=specs,
+            out_specs=(_blk_lane(H8), _blk_row(h * dp)),
+            scratch_shapes=[pltpu.VMEM((2, w, 128), jnp.float32),
+                            pltpu.VMEM((2, w, h * dp), cd),
+                            pltpu.SemaphoreType.DMA((2, 2))]),
+        out_shape=(_out_struct((H8, n), jnp.float32, elf),
+                   _out_struct((n, h * dp), jnp.float32, elf)),
+        interpret=_interp(interpret),
+    )(*args, *inputs)
+    return del_t[:h].T, _unpad_heads(d_feat, h, d, dp)
+
+
+# ---------------------------------------------------------------------------
+# fused max+sum forward kernel: one pass over A_t / el / feat windows.  The
+# cheap XLA parts (leftover / hub rows / self / out-of-kernel hub cols)
+# deliver their per-receiver maxima as ``m_other``; the kernel completes the
+# exact global stabilizer M = max(window, in-kernel hubs, m_other) in
+# registers, evaluates num/den against it, and emits M for the XLA sum parts.
+# Halves the band-side HBM traffic of the two-pass (max then sum) forward.
+# ---------------------------------------------------------------------------
+
+def _k_fused(*refs, w, h, d, dp, ns, hub, thresh, cdk):
+    idx = 0
+    wlo = refs[idx]; idx += 1
+    dk = None
+    if thresh is not None:
+        dk = refs[idx]; idx += 1
+    at_ref = refs[idx]; ert = refs[idx + 1]; mot = refs[idx + 2]; idx += 3
+    if hub:
+        aht = refs[idx]; elh = refs[idx + 1]; fh = refs[idx + 2]
+        idsv = refs[idx + 3]; idx += 4
+    el_hbm = refs[idx]; f_hbm = refs[idx + 1]; idx += 2
+    num_out = refs[idx]; den_out = refs[idx + 1]; m_out = refs[idx + 2]
+    idx += 3
+    elw, fw, sem = refs[idx], refs[idx + 1], refs[idx + 2]
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    prec = _prec(cdk)
+
+    def cp(j, slot):
+        lo = pl.multiple_of(wlo[j], ALIGN)
+        return [pltpu.make_async_copy(el_hbm.at[pl.ds(lo, w), :],
+                                      elw.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(f_hbm.at[pl.ds(lo, w), :],
+                                     fw.at[slot], sem.at[slot, 1])]
+
+    @pl.when(i == 0)
+    def _():
+        _start(cp(0, 0))
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _start(cp(i + 1, (i + 1) % 2))
+
+    _wait(cp(i, i % 2))
+    a = at_ref[...].astype(jnp.float32)
+    valid = a > 0
+    if thresh is not None:
+        valid &= _win_drop_plane(i, wlo[i], w, thresh, dk, swap=False)
+    if hub:
+        ah = aht[...].astype(jnp.float32)
+        validh = ah > 0
+        if thresh is not None:
+            validh &= _hub_drop_plane(i, idsv, aht.shape[0], thresh, dk,
+                                      swap=False)
+        elh_t = elh[...]
+    ert_t = ert[...]
+    mot_t = mot[...]
+    elw_t = elw[i % 2]
+    den_all = jnp.zeros((H8, BN), jnp.float32)
+    m_all = jnp.zeros((H8, BN), jnp.float32)
+    for hh in range(h):
+        er_row = _row_pick(ert_t, hh)
+        el_col = _lane_pick(elw_t, hh)
+        s = _lrelu(el_col + er_row, ns)
+        m_row = jnp.max(jnp.where(valid, s, NEG), axis=0, keepdims=True)
+        if hub:
+            sh = _lrelu(_lane_pick(elh_t, hh) + er_row, ns)
+            m_row = jnp.maximum(
+                m_row, jnp.max(jnp.where(validh, sh, NEG), axis=0,
+                               keepdims=True))
+        m_row = jnp.maximum(m_row, _row_pick(mot_t, hh))
+        e = jnp.where(valid, a * jnp.exp(jnp.minimum(s - m_row, CAP)), 0.0)
+        den = jnp.sum(e, axis=0, keepdims=True)
+        acc = jax.lax.dot_general(
+            e.astype(cdk), fw[i % 2][:, hh * dp:hh * dp + dp],
+            (((0,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        if hub:
+            eh = jnp.where(validh,
+                           ah * jnp.exp(jnp.minimum(sh - m_row, CAP)), 0.0)
+            den = den + jnp.sum(eh, axis=0, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                eh.astype(cdk), fh[:, hh * dp:hh * dp + dp],
+                (((0,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32)
+        den_all = _row_place(den_all, den, hh)
+        m_all = _row_place(m_all, m_row, hh)
+        num_out[:, hh * dp:hh * dp + dp] = acc
+    den_out[...] = den_all
+    m_out[...] = m_all
+
+
+def _win_fused_call(band, elf, erf, m_other, featc, ns, drop, cd, interpret):
+    from .spmm_pallas import _out_struct
+
+    n, h = erf.shape
+    d = featc.shape[1] // h
+    dp = _dp(d)
+    nb = n // BN
+    w = band.window
+    hub = _hub_in_kernel(band)
+    args, npre = _scalar_args(band, drop)
+    featp = _pad_heads(featc.reshape(n, h, d), dp)
+    inputs = [_a_t(band), _t8(erf), _t8(m_other)]
+    specs = [_blk_at(w), _blk_lane(H8), _blk_lane(H8)]
+    if hub:
+        H = band.hub_ids.shape[0]
+        inputs += [_a_hub_t(band), _pack128(jnp.take(elf, band.hub_ids,
+                                                     axis=0)),
+                   jnp.take(featp, band.hub_ids, axis=0), _ids_v(band)]
+        specs += [_blk_lane(H), _full(), _full(), _full()]
+    inputs += [_pack128(elf), featp]
+    specs += [_any(), _any()]
+    kernel = functools.partial(
+        _k_fused, w=w, h=h, d=d, dp=dp, ns=ns, hub=hub,
+        thresh=None if drop is None else drop.thresh, cdk=cd)
+    num, den_t, m_t = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=npre, grid=(nb,), in_specs=specs,
+            out_specs=(_blk_row(h * dp), _blk_lane(H8), _blk_lane(H8)),
+            scratch_shapes=[pltpu.VMEM((2, w, 128), jnp.float32),
+                            pltpu.VMEM((2, w, h * dp), cd),
+                            pltpu.SemaphoreType.DMA((2, 2))]),
+        out_shape=(_out_struct((n, h * dp), jnp.float32, erf),
+                   _out_struct((H8, n), jnp.float32, erf),
+                   _out_struct((H8, n), jnp.float32, erf)),
+        interpret=_interp(interpret),
+    )(*args, *inputs)
+    return _unpad_heads(num, h, d, dp), den_t[:h].T, m_t[:h].T
