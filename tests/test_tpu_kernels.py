@@ -143,3 +143,133 @@ def test_band_drop_kernel_matches_edge_mask(rng_np):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gwant), rtol=3e-4,
                                atol=1e-4)
+
+
+def _hubby(rng, n, deg, spread=200):
+    w = (1.0 / (1.0 + np.arange(n, dtype=np.float64))) ** 0.9
+    rng.shuffle(w)
+    s = rng.choice(n, n * deg, p=w / w.sum())
+    r = np.clip(s + rng.integers(-spread, spread + 1, n * deg), 0, n - 1)
+    return s, r
+
+
+def test_band_gat_agg_kernel_parity_with_drop(rng_np):
+    """Sender-only-score GAT through the band SpMM on chip, TRAIN mode with
+    hash edge-drop: fwd loss + input grads match the per-edge segment path
+    (same hash draws in the kernel, its transpose, and the per-edge mask) —
+    r4 kernel, chip-marked per VERDICT r4 weak #3."""
+    from deep_gcns_torch_tpu.convs.dgl_gat import SymGATConv
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph
+    from deep_gcns_torch_tpu.ops.band import drop_key_bits
+
+    n = 2048
+    s, r = _hubby(rng_np, n, 6)
+    x_np = rng_np.standard_normal((n, 32)).astype(np.float32)
+    g = attach_band(build_graph(x_np, s, r, num_nodes=n), window=256, hubs=64)
+    conv = SymGATConv(32, 16, num_heads=2, use_attn_dst=False, edge_drop=0.4,
+                      use_symmetric_norm=True, residual=True)
+    params, _ = conv.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(x_np)
+    dk = drop_key_bits(jax.random.PRNGKey(3))
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 2, 16))
+                     .astype(np.float32))
+    band_d = jax.device_put(g.band)
+    g_csc = jax.device_put(g.replace(band=None))
+
+    def loss(x_, graph):
+        out, _ = conv.apply(params, {}, x_, graph, train=True, drop_key=dk)
+        return jnp.sum(out * co)
+
+    l1, g1 = jax.jit(lambda x_, b: jax.value_and_grad(loss)(
+        x_, g_csc.replace(band=b)))(x, band_d)
+    l2, g2 = jax.jit(lambda x_, b: jax.value_and_grad(loss)(x_, g_csc)
+                     )(x, band_d)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-3,
+                               atol=3e-4)
+
+
+def test_band_gat_dense_kernels_parity(rng_np):
+    """The r5 fused dense dst-score kernels (_k_fused/_k_der/_k_dsend) on the
+    real chip vs the per-edge segment path — hubby AND hub-free bands, with
+    and without hash edge-drop."""
+    from deep_gcns_torch_tpu.convs.dgl_gat import SymGATConv
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph
+    from deep_gcns_torch_tpu.ops.band import drop_key_bits
+
+    n = 2048
+    for hubs in (64, None):
+        s, r = _hubby(rng_np, n, 6)
+        x_np = rng_np.standard_normal((n, 32)).astype(np.float32)
+        g = attach_band(build_graph(x_np, s, r, num_nodes=n), window=256,
+                        hubs=hubs)
+        if hubs:
+            assert g.band.fwd.hub_ids is not None
+        conv = SymGATConv(32, 16, num_heads=3, use_attn_dst=True,
+                          edge_drop=0.4, use_symmetric_norm=True,
+                          residual=True)
+        params, _ = conv.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(x_np)
+        dk = drop_key_bits(jax.random.PRNGKey(3))
+        co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 3, 16))
+                         .astype(np.float32))
+        band_d = jax.device_put(g.band)
+        g_csc = jax.device_put(g.replace(band=None))
+
+        for kwargs in ({"train": False}, {"train": True, "drop_key": dk}):
+            def loss(x_, graph):
+                out, _ = conv.apply(params, {}, x_, graph, **kwargs)
+                return jnp.sum(out * co)
+
+            l1, g1 = jax.jit(lambda x_, b: jax.value_and_grad(loss)(
+                x_, g_csc.replace(band=b)))(x, band_d)
+            l2, g2 = jax.jit(lambda x_, b: jax.value_and_grad(loss)(
+                x_, g_csc))(x, band_d)
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+            # atol 1e-3: f32 reduction-order noise on ~0 elements (the
+            # segment path vs ITSELF recompiled shows larger deltas on this
+            # conv — see r5 gat_dense commit message)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=3e-3, atol=1e-3)
+
+
+def test_band_extreme_kernel_parity(rng_np):
+    """band_extreme (masked window reduce) on chip vs segment max/min —
+    includes empty receivers (exactly 0, torch_scatter semantics) and the
+    tie-splitting backward."""
+    from deep_gcns_torch_tpu.graph import attach_band, build_graph
+    from deep_gcns_torch_tpu.ops.band import band_extreme
+    from deep_gcns_torch_tpu.ops.segment import segment_max, segment_min
+
+    n = 2048
+    s = rng_np.integers(0, n, n * 5)
+    r = np.clip(s + rng_np.integers(-100, 101, n * 5), 0, n - 1)
+    r[r >= n - 256] = 0  # last blocks: empty receivers
+    s[r == 0] = 0
+    x_np = rng_np.standard_normal((n, 128)).astype(np.float32)
+    g = attach_band(build_graph(x_np, s, r, num_nodes=n), window=256,
+                    hubs=None)
+    x = jnp.asarray(x_np)
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 128))
+                     .astype(np.float32))
+    band_d = jax.device_put(g.band)
+    gd = jax.device_put(g)
+
+    for kind, seg in (("max", segment_max), ("min", segment_min)):
+        def f_band(x_, band):
+            return band_extreme(x_, band, gd.senders, gd.receivers,
+                                gd.edge_mask, kind)
+
+        def f_seg(x_):
+            xg = jnp.take(x_, jnp.minimum(gd.senders, n - 1), axis=0)
+            return seg(xg, gd.receivers, x_.shape[0], mask=gd.edge_mask)
+
+        o1, g1 = jax.jit(lambda x_, b: (
+            f_band(x_, b),
+            jax.grad(lambda x__: jnp.sum(f_band(x__, b) * co))(x_)))(x, band_d)
+        o2 = jax.jit(f_seg)(x)
+        g2 = jax.jit(jax.grad(lambda x_: jnp.sum(f_seg(x_) * co)))(x)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                                   atol=1e-4)
