@@ -199,10 +199,15 @@ def peak_hbm_bytes(jax):
         return 0, "none"
 
 
-def run_rev_workload(jax, jnp, optax, L, iters=3):
-    """Full RevGCN-L×80 train step at the proteins-cluster shape (13k nodes /
-    780k edges, 8-dim edge attrs, species one-hot input stage) — the RevGNN
-    building block (BASELINE.md rows 7-10).  Returns (ms, peak_hbm_bytes)."""
+def run_rev_workload(jax, jnp, optax, L, iters=3, hidden=80):
+    """Full RevGCN-L×hidden train step at the proteins-cluster shape (13k
+    nodes / 780k edges, 8-dim edge attrs, species one-hot input stage) — the
+    RevGNN building block (BASELINE.md rows 7-10); hidden=448 is the
+    RevGNN-Wide width (the r5 TP×reversible use-case — parallel/tensor_rev
+    shards this width across a tp mesh; single-chip row recorded here, the
+    sharded path is proven by the multichip dryrun + oracle tests since only
+    one real chip exists in this environment).
+    Returns (ms, peak_hbm_bytes, source)."""
     import dataclasses
 
     from deep_gcns_torch_tpu.data.synthetic import random_node_graph
@@ -221,10 +226,11 @@ def run_rev_workload(jax, jnp, optax, L, iters=3):
     nf = jnp.asarray(rng.standard_normal((g.num_nodes_padded, 8)), jnp.float32)
 
     model = RevGCN(RevGCNConfig(
-        in_channels=8, node_feat_dim=8, edge_feat_dim=8, hidden_channels=80,
-        num_tasks=112, num_layers=L, group=2, aggr="softmax", norm="layer",
-        mlp_layers=1, dropout=0.1, conv_encode_edge=True,
-        use_one_hot_encoding=True, compute_dtype="bfloat16"))
+        in_channels=8, node_feat_dim=8, edge_feat_dim=8,
+        hidden_channels=hidden, num_tasks=112, num_layers=L, group=2,
+        aggr="softmax", norm="layer", mlp_layers=1, dropout=0.1,
+        conv_encode_edge=True, use_one_hot_encoding=True,
+        compute_dtype="bfloat16"))
     p, s = jax.jit(model.init)(jax.random.PRNGKey(0))
     tx = optax.adam(1e-3)
     opt = tx.init(p)
@@ -308,6 +314,15 @@ def main():
                       "value": round(peak1001 / 2**30, 3), "unit": "GB",
                       "vs_baseline": round(ratio, 3),
                       "source": peak_src}))
+    # RevGNN-Wide 448ch x 224L (the TP x reversible width target): single-
+    # chip step + peak; vs_baseline = step ratio to the 101x80 run
+    ms_wide, peak_wide, wide_src = run_rev_workload(jax, jnp, optax, 224,
+                                                    iters=2, hidden=448)
+    print(json.dumps({"metric": "revgnnwide448x224_step_ms",
+                      "value": round(ms_wide, 1), "unit": "ms",
+                      "vs_baseline": round(ms_wide / max(ms101, 1e-9), 3),
+                      "peak_hbm_gb": round(peak_wide / 2**30, 3),
+                      "source": wide_src}))
     emit_raw("revgcn1001x80_step_ms", round(ms1001, 1), "ms",
              ms1001 / max(ms101, 1e-9))
 

@@ -8,6 +8,9 @@ from .tensor import (TPDeeperGCN, shard_deeper_params, tp_forward,
                      tp_train_step, unshard_deeper_params)
 from .spatial_tp import (SpatialTPDeeperGCN, spatial_tp_forward,
                          spatial_tp_train_step)
+from .tensor_rev import (TPRevGCN, make_tp_mask, shard_rev_params,
+                         tp_rev_forward, tp_rev_train_step,
+                         unshard_rev_params)
 
 __all__ = ["make_mesh", "cluster_dp_train_step", "SpatialDeeperGCN",
            "shard_graph", "shard_nodes", "spatial_forward",
@@ -15,4 +18,6 @@ __all__ = ["make_mesh", "cluster_dp_train_step", "SpatialDeeperGCN",
            "spatial_rev_train_step", "TPDeeperGCN", "shard_deeper_params",
            "tp_forward", "tp_train_step", "unshard_deeper_params",
            "SpatialTPDeeperGCN", "spatial_tp_forward",
-           "spatial_tp_train_step"]
+           "spatial_tp_train_step", "TPRevGCN", "make_tp_mask",
+           "shard_rev_params", "tp_rev_forward", "tp_rev_train_step",
+           "unshard_rev_params"]
