@@ -233,6 +233,14 @@ def main():
         "reference app uses) and torch-exact `rmsprop` (RevGAT); radam /",
         "adamw_ref exist in the reference's utils/optim.py but no reference",
         "app invokes them, so no parity row exercises them.",
+        "Numerical-parity grounding (round 5): golden files generated by",
+        "EXECUTING THE REFERENCE'S OWN CODE on CPU torch through pure-torch",
+        "shims (tests/torch_shims.py, scripts/gen_reference_goldens.py) pin",
+        "GENConv (all 8 aggregators, edge encodings, MsgNorm), MRConv, RSAGE,",
+        "the conv zoo, a 2-layer DeeperGCN and the reversible engine's",
+        "invertible backward to the reference bit-for-tolerance — fwd AND",
+        "every gradient (tests/test_reference_goldens.py).  The accuracy rows",
+        "below remain blocked ONLY on dataset egress, not on model numerics.",
         "",
         "| row | metric | target | measured | delta | status | runtime |",
         "|---|---|---|---|---|---|---|",

@@ -26,18 +26,22 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def chain(jax, f, x0, iters=8):
+def chain(jax, f, x0, args=(), iters=48):
+    # iters >= 48: an 8-iter scan reads ~2.5 ms/iter high on this tunnel
+    # (per-dispatch warm-up tail; no-op control + iters sweep, r5 notes)
+    """args pass big tables (edge embeddings) as ARGUMENTS — closing them
+    over embeds hundreds of MB in the remote-compile request (HTTP 413)."""
     @jax.jit
-    def run(x0):
+    def run(x0, args):
         def body(x_, _):
-            o = f(x_)
+            o = f(x_, *args)
             return x_ + 1e-6 * o.astype(x_.dtype), None
         return jax.lax.scan(body, x0, None, length=iters)[0]
-    run(x0).block_until_ready()
+    run(x0, args).block_until_ready()
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        run(x0).block_until_ready()
+        run(x0, args).block_until_ready()
         best = min(best, (time.time() - t0) / iters)
     return best * 1e3
 
@@ -86,24 +90,24 @@ def main():
 
     fm = coupling.fm  # GENBlock 40ch
 
-    def fm40_fwd(x):
+    def fm40_fwd(x, e2, e2c):
         out, _ = fm.apply(pg, {}, x[:, :40], g,
-                          chunk_args=(None, emb2[:, :80], emb2_csc[:, :80]),
+                          chunk_args=(None, e2[:, :80], e2c[:, :80]),
                           train=False)
         return jnp.sum(out)
 
-    def fm40_fwdbwd(x):
-        return jnp.sum(jax.grad(lambda x_: fm40_fwd(x_))(x))
+    def fm40_fwdbwd(x, e2, e2c):
+        return jnp.sum(jax.grad(lambda x_: fm40_fwd(x_, e2, e2c))(x))
 
-    def layer_fwd(x):
-        return jnp.sum(coupling.forward(p1, x, g, None, emb2, emb2_csc,
+    def layer_fwd(x, e2, e2c):
+        return jnp.sum(coupling.forward(p1, x, g, None, e2, e2c,
                                         train=False))
 
     gy = jnp.asarray(rng.standard_normal((npd, 80)), jnp.float32)
 
-    def layer_invvjp(x):
-        xr, gx, gp, _ = coupling.inverse_and_vjp(p1, x, g, gy, None, emb2,
-                                                 emb2_csc, train=False)
+    def layer_invvjp(x, e2, e2c):
+        xr, gx, gp, _ = coupling.inverse_and_vjp(p1, x, g, gy, None, e2,
+                                                 e2c, train=False)
         return (jnp.sum(xr) + jnp.sum(gx)
                 + sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(gp)))
 
@@ -112,17 +116,14 @@ def main():
                      edge_feat_dim=160, norm="layer", mlp_layers=1,
                      compute_dtype="bfloat16")
     p80, _ = jax.jit(blk80.init)(jax.random.PRNGKey(1))
-    emb160 = jnp.concatenate([emb2] * 2, axis=-1)
-    emb160_csc = jnp.concatenate([emb2_csc] * 2, axis=-1)
 
-    def fm80_fwd(x):
-        out, _ = blk80.apply(p80, {}, x, g,
-                             chunk_args=(None, emb160, emb160_csc),
+    def fm80_fwd(x, e1, e1c):
+        out, _ = blk80.apply(p80, {}, x, g, chunk_args=(None, e1, e1c),
                              train=False)
         return jnp.sum(out)
 
-    def fm80_fwdbwd(x):
-        return jnp.sum(jax.grad(lambda x_: fm80_fwd(x_))(x))
+    def fm80_fwdbwd(x, e1, e1c):
+        return jnp.sum(jax.grad(lambda x_: fm80_fwd(x_, e1, e1c))(x))
 
     # gather floor
     sid = jnp.minimum(g.senders, npd - 1)
@@ -135,19 +136,21 @@ def main():
         return jnp.sum(jnp.take(x.astype(jnp.bfloat16), sid, axis=0)
                        .astype(jnp.float32))
 
+    e_args = (emb2, emb2_csc)
+    e160 = (emb2, emb2_csc)  # [E, 160] — exactly edge_feat_dim=160
     rows = [
-        ("gather [E,40] bf16", gather40),
-        ("gather [E,80] bf16", gather80),
-        ("fm40 fwd", fm40_fwd),
-        ("fm40 fwd+bwd", fm40_fwdbwd),
-        ("fm80 fwd", fm80_fwd),
-        ("fm80 fwd+bwd", fm80_fwdbwd),
-        ("layer fwd (2 x fm40 seq)", layer_fwd),
-        ("layer inverse+vjp (fused)", layer_invvjp),
+        ("gather [E,40] bf16", gather40, ()),
+        ("gather [E,80] bf16", gather80, ()),
+        ("fm40 fwd", fm40_fwd, e_args),
+        ("fm40 fwd+bwd", fm40_fwdbwd, e_args),
+        ("fm80 fwd", fm80_fwd, e160),
+        ("fm80 fwd+bwd", fm80_fwdbwd, e160),
+        ("layer fwd (2 x fm40 seq)", layer_fwd, e_args),
+        ("layer inverse+vjp (fused)", layer_invvjp, e_args),
     ]
     out = {}
-    for name, f in rows:
-        t = chain(jax, f, h80)
+    for name, f, a in rows:
+        t = chain(jax, f, h80, a)
         out[name] = t
         print(f"[rev] {name}: {t:.2f} ms", file=sys.stderr)
     tot = out["layer fwd (2 x fm40 seq)"] + out["layer inverse+vjp (fused)"]

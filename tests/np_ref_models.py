@@ -2,6 +2,12 @@
 consuming torch-named state dicts (as produced by the reference's `save_ckpt`,
 `utils/ckpt_util.py:9-24`, or by our exporters).
 
+Round-5 status: DEMOTED to cross-checks.  The authoritative goldens are now
+produced by executing the reference's OWN torch code through pure-torch shims
+(tests/torch_shims.py + scripts/gen_reference_goldens.py, consumed by
+tests/test_reference_goldens.py) — these numpy models remain as an
+independent third implementation guarding against shim bugs.
+
 These are the frameworkless goldens demanded by VERDICT r1 weak #1: a 2-layer
 DeeperGCN res+ forward (`examples/ogb/ogbn_arxiv/model.py:84-109`, eval mode) and
 a 2-layer RevGCN forward (`examples/ogb_eff/ogbn_proteins/model_rev.py:85-112` +
