@@ -13,6 +13,11 @@ with BENCH_BASELINE.json):
   2b. revgat5_train_step_ms — RevGAT-5L (256h × 3 heads, label reuse,
      edge-drop 0.3) full train step on the same realistic graph through the
      band GAT route; vs_baseline = CSC-route step / band step.
+  2c. gat_dense_dstscore_fwdbwd_ms — the fused dense dst-score GAT
+     aggregation (ops/gat_dense.py Mosaic kernels; the only trainable
+     dst-score path at arxiv scale) fwd+bwd with all grads + hash edge-drop
+     at 256h × 3 heads on the realistic power-law graph; vs_baseline = the
+     r4 XLA-composed route's 370.9 ms on the same workload (ROOFLINE.md).
   3. revgcn1001x80_peak_hbm_gb — peak device memory of a full RevGCN-1001x80
      train step at the proteins-cluster shape (13k nodes / 780k edges, edge
      attrs); vs_baseline is peak(1001)/peak(101) — the O(1)-activation-memory
@@ -267,6 +272,52 @@ def run_rev_workload(jax, jnp, optax, L, iters=3, hidden=80):
     return best * 1e3, peak, peak_src
 
 
+def run_gat_dense_micro(jax, jnp, band_pair, npd, iters=8):
+    """Fused dense dst-score GAT aggregation fwd+bwd, all grads + hash
+    edge-drop, 256h × 3 heads — the workload behind ROOFLINE.md's r4/r5
+    dst-score table (scripts/tpu_gat_dense_drive.py).  Chained under one jit
+    scan so the tunnel's per-dispatch latency doesn't pollute the read."""
+    from deep_gcns_torch_tpu.ops.band import make_edge_drop
+    from deep_gcns_torch_tpu.ops.gat_dense import gat_dense_agg
+
+    rng = np.random.default_rng(7)
+    h, d = 3, 256
+    cd = jnp.bfloat16
+    feat = jnp.asarray(rng.standard_normal((npd, h, d)).astype(np.float32)
+                       ).astype(cd)
+    el = jnp.asarray(rng.standard_normal((npd, h)).astype(np.float32))
+    er = jnp.asarray(rng.standard_normal((npd, h)).astype(np.float32))
+    drop = make_edge_drop(jax.random.PRNGKey(3), 0.3)
+
+    def fwdbwd(x_, f_in, r_in, band):
+        def loss(f_, l_, r_):
+            num, den = gat_dense_agg(f_, l_, r_, None, None, None, band,
+                                     drop, 0.2, cd, False)
+            return jnp.sum(num) + jnp.sum(den)
+        gs = jax.grad(loss, argnums=(0, 1, 2))(f_in, x_, r_in)
+        return sum(jnp.sum(t.astype(jnp.float32)) for t in gs)
+
+    @jax.jit
+    def run(x0, f_in, r_in, band):
+        # tables ride as arguments: closing over the 260MB feat serializes it
+        # into the remote-compile request (tunnel body-size limit)
+        def body(x_, _):
+            return x_ + 1e-6 * fwdbwd(x_, f_in, r_in, band), None
+        return jax.lax.scan(body, x0, None, length=iters)[0]
+
+    t0 = time.time()
+    run(el, feat, er, band_pair).block_until_ready()
+    comp = time.time() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        run(el, feat, er, band_pair).block_until_ready()
+        best = min(best, (time.time() - t0) / iters)
+    print(f"[bench:gat-dense] compile={comp:.1f}s fwd+bwd={best*1e3:.1f}ms "
+          f"(r4 XLA route 370.9 ms)", file=sys.stderr)
+    return best * 1e3
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -352,6 +403,14 @@ def main():
           f"step={dt_rc*1000:.1f}ms loss={loss_rc:.4f}", file=sys.stderr)
     emit_raw("deepergcn28_realistic_band_speedup_vs_csr",
              round(dt_rc / dt_rb, 3), "x", dt_rc / dt_rb)
+
+    # --- fused dense dst-score GAT aggregation (ops/gat_dense.py) -----------
+    # 256h × 3 heads fwd+bwd (all grads, hash edge-drop 0.3) on the realistic
+    # graph's band — vs the r4 XLA-composed route's 370.9 ms (ROOFLINE.md;
+    # VERDICT r4 next #1 asked >=2x driver-captured).
+    ms_gd = run_gat_dense_micro(jax, jnp, gr_d.band, gr_.num_nodes_padded)
+    emit_raw("gat_dense_dstscore_fwdbwd_ms", round(ms_gd, 1), "ms",
+             370.9 / ms_gd)
 
     # --- RevGAT-5L flagship: band GAT vs CSC on an app-faithful graph -------
     # (symmetrized + self-loops like the arxiv pipeline, alpha=0.6 hubs →
