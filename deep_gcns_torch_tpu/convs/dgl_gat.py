@@ -60,6 +60,51 @@ def _gat_fused_ok(g: "Graph", packed_width: int) -> bool:
 
 Array = jax.Array
 
+# Backward-reciprocal floor for the GLOBAL-stabilizer fast paths
+# (band_gat_agg / gat_softmax_spmm): a receiver whose stabilized den has
+# underflowed below this emits 0 with zero gradients instead of poisoning the
+# backward with 1/den → inf → inf·0 = NaN.  Receivers this far below the
+# global score max (den < 1e-20 ⇒ every sender scores ≳46 under it) had
+# already lost their mantissa to the shared shift — the forward value was
+# garbage either way; the exact answer needs the per-receiver stabilizer
+# (stabilizer="per_receiver").  Measured round 5: deep sym-norm RevGAT on a
+# 49k-out-degree stress graph drives the per-head score spread to ~100, den
+# to f32-denormal on 1.2k receivers, and the unguarded backward NaNs on BOTH
+# fast routes (scripts/tpu_gat_nan_repro.py) — in f32 compute as well as
+# bf16 (the spread, not the dtype, is the envelope).
+DEN_TINY = 1e-20
+
+
+@jax.custom_vjp
+def _safe_div(num: Array, den: Array) -> Array:
+    """num [N,H,D] / den [N,H] with the DEN_TINY guard and a REASSOCIATED
+    backward: plain autodiff forms d_den = -<g,num>/den², and den² underflows
+    f32 for den ≲ 1e-19 — the TPU flushes the denormal square to zero and the
+    backward emits inf/NaN even though den itself passed the guard (measured:
+    the round-5 RevGAT repro NaN'd at den = 1.19e-20 through exactly this).
+    Computing d_den = -<g, out>/den (two divisions, no square) keeps every
+    intermediate within f32 range for any den above the guard."""
+    ok = den > DEN_TINY
+    return jnp.where(ok[..., None], num / jnp.where(ok, den, 1.0)[..., None],
+                     0.0)
+
+
+def _safe_div_fwd(num, den):
+    ok = den > DEN_TINY
+    dsafe = jnp.where(ok, den, 1.0)
+    out = jnp.where(ok[..., None], num / dsafe[..., None], 0.0)
+    return out, (out, dsafe, ok)
+
+
+def _safe_div_bwd(res, g):
+    out, dsafe, ok = res
+    d_num = jnp.where(ok[..., None], g / dsafe[..., None], 0.0)
+    d_den = jnp.where(ok, -jnp.sum(g * out, axis=-1) / dsafe, 0.0)
+    return d_num, d_den
+
+
+_safe_div.defvjp(_safe_div_fwd, _safe_div_bwd)
+
 
 @dataclass(frozen=True)
 class SymGATConv(Module):
@@ -74,6 +119,18 @@ class SymGATConv(Module):
     # 'bfloat16' halves HBM traffic of the fused attention+SpMM path (the packed
     # table gather dominates); accumulation stays f32 in-kernel.
     compute_dtype: str = "float32"
+    # Softmax stabilizer for the sender-only-score band route:
+    #   "auto"         — node-factored band_gat_agg with ONE global per-head
+    #                    shift (fastest; exact while the per-head score spread
+    #                    stays ≲80 — the BN'd published configs);
+    #   "per_receiver" — dense in-window evaluation (ops/gat_dense.py, er≡0)
+    #                    with an EXACT per-receiver stabilizer, hub-capable —
+    #                    required when sym-norm depth amplifies score outliers
+    #                    (see DEN_TINY note; measured 1.82x the step time of
+    #                    "auto" on the RevGAT-5L bench workload, 858 vs 472
+    #                    ms — hence opt-in, not the default).
+    # The dst-score case always uses the per-receiver dense route.
+    stabilizer: str = "auto"
 
     def init(self, key):
         k = jax.random.split(key, 4)
@@ -149,8 +206,24 @@ class SymGATConv(Module):
                                           self.neg_slope, compute_dtype=cd,
                                           drop=drop_spec,
                                           interpret=band_interpret())
-            out = jnp.where((den > 0)[..., None],
-                            num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+            out = _safe_div(num, den)
+        elif ((not self.use_attn_dst)
+                and self.stabilizer == "per_receiver"
+                and (not dropping or drop_spec is not None)
+                and _gat_dense_ok(g)):
+            # sender-only scores with an EXACT per-receiver stabilizer: the
+            # dense in-window route with er ≡ 0 (see the stabilizer field
+            # note — the global-shift fast path silently zeroes receivers
+            # whose senders all score far below the global max).
+            from ..ops.band import band_gat_dense_agg, band_interpret
+
+            cd = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                  else feat_src.dtype)
+            num, den = band_gat_dense_agg(feat_src, el, jnp.zeros_like(el),
+                                          g.band, self.neg_slope,
+                                          compute_dtype=cd, drop=drop_spec,
+                                          interpret=band_interpret())
+            out = _safe_div(num, den)
         elif ((not self.use_attn_dst)
                 and (not dropping or drop_spec is not None)
                 and _gat_band_ok(g)):
@@ -167,8 +240,7 @@ class SymGATConv(Module):
                                     compute_dtype=cd,
                                     interpret=band_interpret(),
                                     drop=drop_spec)
-            out = jnp.where((den > 0)[..., None],
-                            num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+            out = _safe_div(num, den)
         elif (not self.use_attn_dst) and _gat_fused_ok(g, h * d + h):
             # fully fused attention+SpMM: one gather of the packed [feat|el]
             # table, CSR forward / CSC backward kernels; renormalizing edge-drop
@@ -188,8 +260,7 @@ class SymGATConv(Module):
                                    keep_csc, h * d, h, self.neg_slope)
             num = agg[:, :h * d].astype(jnp.float32).reshape(n, h, d)
             den = agg[:, h * d:h * d + h].astype(jnp.float32)
-            out = jnp.where((den > 0)[..., None],
-                            num / jnp.where(den > 0, den, 1.0)[..., None], 0.0)
+            out = _safe_div(num, den)
         else:
             alpha = segment_softmax(score, g.receivers, n, mask=att_mask)
             msg = gather_src_auto(feat_src.reshape(n, h * d), g).reshape(-1, h, d)

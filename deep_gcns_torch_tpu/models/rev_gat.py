@@ -54,12 +54,14 @@ class RevGATBlock(Module):
     use_attn_dst: bool = True
     use_symmetric_norm: bool = False
     compute_dtype: str = "float32"
+    stabilizer: str = "auto"
 
     def _conv(self):
         return SymGATConv(self.in_dim, self.out_dim, self.n_heads,
                           edge_drop=self.edge_drop, use_attn_dst=self.use_attn_dst,
                           residual=True, use_symmetric_norm=self.use_symmetric_norm,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.compute_dtype,
+                          stabilizer=self.stabilizer)
 
     def init(self, key):
         k0, k1 = jax.random.split(key)
@@ -102,6 +104,11 @@ class RevGATConfig:
     use_attn_dst: bool = False
     use_symmetric_norm: bool = True
     compute_dtype: str = "float32"
+    # "per_receiver" routes the band GAT through the exact per-receiver
+    # stabilizer (ops/gat_dense.py) — required when sym-norm depth amplifies
+    # attention-score outliers past the global-shift envelope
+    # (convs/dgl_gat.DEN_TINY note); "auto" keeps the fastest legal route.
+    stabilizer: str = "auto"
 
 
 class RevGAT(Module):
@@ -114,17 +121,19 @@ class RevGAT(Module):
                                  edge_drop=c.edge_drop, use_attn_dst=c.use_attn_dst,
                                  residual=True,
                                  use_symmetric_norm=c.use_symmetric_norm,
-                                 compute_dtype=c.compute_dtype)
+                                 compute_dtype=c.compute_dtype,
+                                 stabilizer=c.stabilizer)
         self._mid_block = RevGATBlock(
             hid // c.group, c.n_hidden // c.group, c.n_heads,
             edge_drop=c.edge_drop, use_attn_dst=c.use_attn_dst,
             use_symmetric_norm=c.use_symmetric_norm,
-            compute_dtype=c.compute_dtype)
+            compute_dtype=c.compute_dtype, stabilizer=c.stabilizer)
         self._coupling = GroupAdditiveCoupling(self._mid_block, group=c.group)
         self._last = SymGATConv(hid, c.n_classes, 1, edge_drop=c.edge_drop,
                                 use_attn_dst=c.use_attn_dst, residual=True,
                                 use_symmetric_norm=c.use_symmetric_norm,
-                                compute_dtype=c.compute_dtype)
+                                compute_dtype=c.compute_dtype,
+                                stabilizer=c.stabilizer)
 
     def init(self, key):
         c = self.cfg

@@ -27,6 +27,12 @@ def get_args():
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 halves the fused attention kernels' HBM traffic")
+    p.add_argument("--gat_stabilizer", type=str, default="auto",
+                   choices=["auto", "per_receiver"],
+                   help="softmax stabilizer for the band GAT route: "
+                        "'per_receiver' is exact on wide score spreads "
+                        "(sym-norm depth on extreme hubs) at ~1.8x step "
+                        "time — see convs/dgl_gat.SymGATConv.stabilizer")
     p.add_argument("--no_norm_adj", action="store_true",
                    help="disable symmetric norm")
     p.add_argument("--use_labels", action="store_true", default=True)
@@ -111,7 +117,8 @@ def main():
         group=args.group, dropout=args.dropout, input_drop=args.input_drop,
         edge_drop=args.edge_drop, use_attn_dst=args.use_attn_dst,
         use_symmetric_norm=not args.no_norm_adj,
-        compute_dtype=getattr(args, "compute_dtype", "float32"))
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
+        stabilizer=getattr(args, "gat_stabilizer", "auto"))
     model = RevGAT(cfg)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(args.seed))
 

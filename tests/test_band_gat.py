@@ -298,3 +298,148 @@ def test_pyg_gatconv_dense_band_matches_segment_path(rng_np):
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=4e-3,
                                    atol=4e-4)
+
+
+def test_symgat_per_receiver_stabilizer_matches_segment_path(rng_np):
+    """stabilizer="per_receiver" (sender-only scores through the dense route
+    with er=0): fwd + grads match the segment path, incl. hubs, sym-norm,
+    residual and hash edge-drop (VERDICT r4 next #6)."""
+    g = make_graph(rng_np, hubby=True)
+    conv = SymGATConv(32, 16, num_heads=3, use_attn_dst=False,
+                      use_symmetric_norm=True, residual=True, edge_drop=0.4,
+                      stabilizer="per_receiver")
+    params, _ = conv.init(jax.random.PRNGKey(0))
+    xj = jnp.asarray(np.asarray(g.x))
+    from deep_gcns_torch_tpu.ops.band import drop_key_bits
+    dk = drop_key_bits(jax.random.PRNGKey(3))
+    co = jnp.asarray(rng_np.standard_normal((g.num_nodes_padded, 3, 16))
+                     .astype(np.float32))
+
+    for kwargs in ({}, {"train": True, "drop_key": dk}):
+        def loss(p, x_, graph):
+            out, _ = conv.apply(p, {}, x_, graph, **kwargs)
+            return jnp.sum(out * co)
+
+        l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xj, g)
+        l2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(
+            params, xj, g.replace(band=None))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=4e-3, atol=4e-4)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("spread", [90.0, 150.0])
+def test_wide_score_spread_envelope(rng_np, spread):
+    """The round-5 NaN mechanism and its two mitigations, at op level.
+
+    With a per-head score spread ≫ 87 (one hub sender far above everyone),
+    the GLOBAL-stabilizer fast path (band_gat_agg) underflows den to 0 /
+    f32-denormals for receivers that don't see the hub — its caller guard
+    (DEN_TINY) must then (a) emit 0 there WITHOUT NaN gradients, while
+    (b) the per-receiver dense route stays exact vs the segment path.
+    spread=90 puts hub-blind dens in the f32-DENORMAL window (the exact
+    regime whose unguarded backward NaNs — verified to NaN under the old
+    den>0 guard in f32 as well as bf16: the spread, not the dtype, is the
+    envelope); spread=150 flushes them cleanly to zero."""
+    from deep_gcns_torch_tpu.ops.band import band_gat_agg, band_gat_dense_agg
+    from deep_gcns_torch_tpu.ops.segment import segment_softmax, segment_sum
+    from deep_gcns_torch_tpu.convs.dgl_gat import DEN_TINY, _safe_div
+
+    n, deg = 512, 6
+    s = rng_np.integers(0, n, n * deg)
+    r = np.clip(s + rng_np.integers(-80, 81, n * deg), 0, n - 1)
+    # make node 0 a hub sender into the first few receivers only
+    s[:8] = 0
+    r[:8] = np.arange(8)
+    g = attach_band(build_graph(
+        rng_np.standard_normal((n, 32)).astype(np.float32), s, r,
+        num_nodes=n), window=256, hubs=None)
+    npd = g.num_nodes_padded
+    h, d = 2, 16
+    feat = jnp.asarray(rng_np.standard_normal((npd, h, d)).astype(np.float32))
+    el_np = rng_np.standard_normal((npd, h)).astype(np.float32)
+    el_np[0] = spread  # hub scores far above the crowd: spread >> exp range
+    el = jnp.asarray(el_np)
+
+    def global_route(el_, feat_):
+        num, den = band_gat_agg(feat_, el_, g.band, 0.2, interpret="xla")
+        return _safe_div(num, den)
+
+    def dense_route(el_, feat_):
+        num, den = band_gat_dense_agg(feat_, el_, jnp.zeros_like(el_), g.band,
+                                      0.2, interpret="xla")
+        return _safe_div(num, den)
+
+    def segment_route(el_, feat_):
+        score = jax.nn.leaky_relu(
+            jnp.take(el_, jnp.minimum(g.senders, npd - 1), axis=0), 0.2)
+        alpha = segment_softmax(score, g.receivers, npd, mask=g.edge_mask)
+        msg = jnp.take(feat_, jnp.minimum(g.senders, npd - 1), axis=0)
+        return segment_sum(msg * alpha[..., None], g.receivers, npd,
+                           mask=g.edge_mask)
+
+    out_g = global_route(el, feat)
+    out_d = dense_route(el, feat)
+    out_s = segment_route(el, feat)
+    # (b) per-receiver dense route is exact everywhere
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               rtol=2e-3, atol=2e-4)
+    # the global route demonstrably zeroes hub-blind receivers (the envelope)
+    zeroed = np.flatnonzero(
+        (np.abs(np.asarray(out_g)).sum(axis=(1, 2)) == 0)
+        & (np.abs(np.asarray(out_s)).sum(axis=(1, 2)) > 1e-3))
+    assert zeroed.size > 0
+    # (a) ... but with FINITE gradients thanks to the DEN_TINY guard
+    co = jnp.asarray(rng_np.standard_normal(out_s.shape).astype(np.float32))
+    for route in (global_route, dense_route):
+        gel, gfeat = jax.grad(
+            lambda e_, f_: jnp.sum(route(e_, f_) * co), argnums=(0, 1))(
+                el, feat)
+        assert bool(jnp.all(jnp.isfinite(gel)))
+        assert bool(jnp.all(jnp.isfinite(gfeat)))
+    # dense-route grads also match the segment path on this adversarial input
+    gd = jax.grad(lambda e_, f_: jnp.sum(dense_route(e_, f_) * co),
+                  argnums=(0, 1))(el, feat)
+    gs = jax.grad(lambda e_, f_: jnp.sum(segment_route(e_, f_) * co),
+                  argnums=(0, 1))(el, feat)
+    for a, b in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=4e-3,
+                                   atol=4e-4)
+
+
+def test_safe_div_custom_vjp_matches_autodiff_and_survives_tiny_dens(rng_np):
+    """_safe_div's reassociated backward: exact vs plain autodiff on healthy
+    dens, and finite at dens just above DEN_TINY where plain autodiff's den²
+    underflows f32 (flushed to 0 on TPU → inf/NaN; the round-5 repro)."""
+    from deep_gcns_torch_tpu.convs.dgl_gat import DEN_TINY, _safe_div
+
+    num = jnp.asarray(rng_np.standard_normal((32, 2, 8)).astype(np.float32))
+    den = jnp.asarray((rng_np.random((32, 2)) + 0.5).astype(np.float32))
+    co = jnp.asarray(rng_np.standard_normal((32, 2, 8)).astype(np.float32))
+
+    def naive(num_, den_):
+        ok = den_ > DEN_TINY
+        return jnp.where(ok[..., None],
+                         num_ / jnp.where(ok, den_, 1.0)[..., None], 0.0)
+
+    g1 = jax.grad(lambda a, b: jnp.sum(_safe_div(a, b) * co),
+                  argnums=(0, 1))(num, den)
+    g2 = jax.grad(lambda a, b: jnp.sum(naive(a, b) * co),
+                  argnums=(0, 1))(num, den)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+    # tiny dens: scale num down with den so out stays O(1) (softmax reality)
+    tiny = jnp.asarray(np.full((32, 2), 3e-20, np.float32))
+    num_t = num * tiny[..., None]
+    gn, gd = jax.grad(lambda a, b: jnp.sum(_safe_div(a, b) * co),
+                      argnums=(0, 1))(num_t, tiny)
+    assert bool(jnp.all(jnp.isfinite(gn))) and bool(jnp.all(jnp.isfinite(gd)))
+    # d_den = -<g,out>/den stays within f32 range (|out|~1, den=3e-20 → ~1e20)
+    assert float(jnp.max(jnp.abs(gd))) < 3e21
