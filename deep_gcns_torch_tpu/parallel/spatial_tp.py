@@ -16,7 +16,7 @@ Parameters are channel-sharded with `tensor.shard_deeper_params` (the same
 single-chip pytree — init a models.DeeperGCN, shard once, run on the mesh);
 node arrays are sharded with `spatial.shard_graph`/`shard_nodes` exactly as
 in the 1-D spatial runner.  Scope mirrors TPDeeperGCN: res+, linear
-encoder, mlp_layers ≤ 2, per-channel norms, no virtual node / one-hot /
+encoder, mlp_layers ≤ 2, batch/none/layer norms, no virtual node / one-hot /
 msg_norm.  Oracle:
 forward and one SGD step equal the single-chip model
 (tests/test_spatial_tp.py).  The reference has no multi-GPU training at all.
@@ -35,7 +35,7 @@ from ..models.deeper_gcn import DeeperGCN, DeeperGCNConfig
 from ..nn.core import dropout
 from ..ops.segment import generalized_aggregate
 from .spatial import SpatialShards, exchange_sources
-from .tensor import check_tp_supported, tp_mlp_apply
+from .tensor import check_tp_supported, tp_mlp_apply, tp_norm_apply
 
 Array = jax.Array
 
@@ -122,10 +122,11 @@ class SpatialTPDeeperGCN:
             ns_ = slice_l(state["norms"], i - 1)
             # BatchNorm: stats per channel over the GLOBAL node set — the
             # cross-replica reduction runs over "gp" (channels are sharded,
-            # not reduced); masked rows excluded as on one chip
-            h1, ns_out = self.inner._norm.apply(np_, ns_, h, train=train,
-                                                mask=my.node_mask,
-                                                axis_name=self.gp)
+            # not reduced); masked rows excluded as on one chip.  LayerNorm:
+            # per-node over channels → one tp psum, no gp reduction.
+            h1, ns_out = tp_norm_apply(self.inner._norm, cfg, self.tp, np_,
+                                       ns_, h, train=train,
+                                       mask=my.node_mask, bn_axis=self.gp)
             h2 = jax.nn.relu(h1)
             h2 = dropout(h2, cfg.dropout, train=train, rng=layer_rng(i))
             res, ws_out = gcn_block(gcn_params(i),
@@ -138,9 +139,9 @@ class SpatialTPDeeperGCN:
 
         npL = slice_l(params["norms"], L - 1)
         nsL = slice_l(state["norms"], L - 1)
-        h1, nsL_out = self.inner._norm.apply(npL, nsL, h, train=train,
-                                             mask=my.node_mask,
-                                             axis_name=self.gp)
+        h1, nsL_out = tp_norm_apply(self.inner._norm, cfg, self.tp, npL,
+                                    nsL, h, train=train, mask=my.node_mask,
+                                    bn_axis=self.gp)
         h = jax.nn.relu(h1) if cfg.final_relu else h1
         if cfg.final_dropout:
             h = dropout(h, cfg.dropout, train=train, rng=layer_rng(L))

@@ -25,10 +25,12 @@ stack round-trips; oracle tests in tests/test_tensor_parallel.py).
 
 Scope: block="res+", linear node encoder, mlp_layers ≤ 2 (the two-matmul
 MLP is the Megatron column→row pair, one psum_scatter per matmul),
-per-channel norms only (LayerNorm reduces across channels), no virtual
-node / one-hot / msg_norm (msg_norm's L2 runs across channels and would
-need a psum — assert-gated, not silently wrong).  The reference has no TP
-at all; SURVEY §2.7 lists it as the optional axis.
+batch/none/layer norms (LayerNorm reduces across channels → one packed
+(sum, sq) tp psum per call, `_tp_layernorm` — round 5; the proteins
+112-layer norm="layer" config rides TP), no virtual node / one-hot /
+msg_norm (msg_norm's L2 runs across channels and would need a psum —
+assert-gated, not silently wrong).  The reference has no TP at all;
+SURVEY §2.7 lists it as the optional axis.
 """
 
 from __future__ import annotations
@@ -62,14 +64,42 @@ def _rep(a, t):
     return np.broadcast_to(a[None], (t,) + a.shape).copy()
 
 
+def _tp_layernorm(axis: str, scale, bias, h, c_full, eps=1e-5):
+    """LayerNorm over channels sharded across ``axis``: ONE psum of the
+    packed (sum, sum-of-squares) pair per call.  Matches nn.core.LayerNorm to
+    f32 reduction-order tolerance (E[x²]−E[x]² vs two-pass).  Shared by the
+    TP DeeperGCN/RevGCN twins (round 5 lifts the r4 LayerNorm gate — the
+    proteins 112-layer norm="layer" flagship config rides TP)."""
+    s1 = jnp.sum(h, axis=-1)
+    s2 = jnp.sum(jnp.square(h), axis=-1)
+    stats = jax.lax.psum(jnp.stack([s1, s2], axis=-1), axis)   # [N, 2]
+    mu = stats[..., 0:1] / c_full
+    var = jnp.maximum(stats[..., 1:2] / c_full - jnp.square(mu), 0.0)
+    return (h - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def tp_norm_apply(inner_norm, cfg, tp_axis, np_, ns_, h, *, train,
+                  mask, bn_axis=None):
+    """Inter-layer norm on the channel shard: BatchNorm stats are per
+    channel over nodes (local; cross-replica over ``bn_axis`` when nodes are
+    also sharded), LayerNorm reduces ACROSS channels → one tp psum
+    (_tp_layernorm; per-node, so no gp reduction needed on a 2-D mesh)."""
+    if cfg.norm == "layer":
+        c_full = h.shape[1] * jax.lax.psum(1, tp_axis)
+        return _tp_layernorm(tp_axis, np_["scale"], np_["bias"], h,
+                             c_full), ns_
+    return inner_norm.apply(np_, ns_, h, train=train, mask=mask,
+                            axis_name=bn_axis)
+
+
 def check_tp_supported(cfg: DeeperGCNConfig):
     assert cfg.block == "res+", "TP v1 covers the res+ flagship block"
     assert cfg.mlp_layers in (1, 2), "TP covers mlp_layers 1 (arxiv) and 2 (ogbg)"
-    # every norm under TP runs on the channel shard: BatchNorm is per-channel
-    # (stats over nodes — local, or psum over the node axis on a 2-D mesh);
-    # LayerNorm reduces ACROSS channels and would need a tp psum — not wired
-    assert cfg.norm in ("batch", "none"), (
-        f"TP needs a per-channel norm (batch/none), got {cfg.norm!r}")
+    # norms under TP: BatchNorm stats are per-channel over nodes (local, or
+    # psum over the node axis on a 2-D mesh); LayerNorm reduces ACROSS
+    # channels → one packed (sum, sq) tp psum per call (_tp_layernorm)
+    assert cfg.norm in ("batch", "none", "layer"), (
+        f"TP supports batch/none/layer norms, got {cfg.norm!r}")
     assert not cfg.msg_norm, "msg_norm mixes channels (needs a psum) — off in v1"
     assert cfg.aggr in ("softmax", "softmax_sg", "softmax_sum", "add", "sum",
                         "mean", "power", "power_sum", "max", "min")
@@ -153,11 +183,18 @@ def tp_mlp_apply(cfg, tp_axis: str, wp, ws, h2, *, train=False, mask=None,
         sentry = {}
         if i < n_lay - 1:  # hidden layer (last_lin=True ⇒ bare final Linear)
             if "norm" in layer:
-                nrm = make_norm(cfg.norm, h.shape[1])
                 lstate = (ws[i] if ws is not None and len(ws) > i else {})
-                h, ns = nrm.apply(layer["norm"], lstate.get("norm", {}), h,
-                                  train=train, mask=mask, axis_name=bn_axis)
-                sentry["norm"] = ns
+                if cfg.norm == "layer":
+                    c_full = h.shape[1] * jax.lax.psum(1, tp_axis)
+                    h = _tp_layernorm(tp_axis, layer["norm"]["scale"],
+                                      layer["norm"]["bias"], h, c_full)
+                    sentry["norm"] = lstate.get("norm", {})
+                else:
+                    nrm = make_norm(cfg.norm, h.shape[1])
+                    h, ns = nrm.apply(layer["norm"], lstate.get("norm", {}),
+                                      h, train=train, mask=mask,
+                                      axis_name=bn_axis)
+                    sentry["norm"] = ns
             h = jax.nn.relu(h)
         new_ws.append(sentry)
     return h, new_ws
@@ -174,10 +211,10 @@ class TPDeeperGCN:
 
     # -- local (per-device) pieces ------------------------------------------
     def _norm_apply(self, np_, ns_, h, g, train):
-        # BatchNorm stats are per channel over nodes → fully local on the
-        # channel shard; LayerNorm would need a cross-channel psum (v2).
-        return self.inner._norm.apply(np_, ns_, h, train=train,
-                                      mask=g.node_mask)
+        # BatchNorm: per-channel stats over nodes → local on the channel
+        # shard; LayerNorm: one packed (sum, sq) tp psum (tp_norm_apply).
+        return tp_norm_apply(self.inner._norm, self.cfg, self.axis, np_,
+                             ns_, h, train=train, mask=g.node_mask)
 
     def _gcn_aggregate(self, gp, h, g):
         """GENConv message+aggregate on the channel shard (all local)."""

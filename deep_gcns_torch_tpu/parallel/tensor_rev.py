@@ -186,16 +186,7 @@ def unshard_rev_params(params_tp, cfg: RevGCNConfig):
     return p
 
 
-def _tp_layernorm(axis: str, scale, bias, h, c_full: int, eps=1e-5):
-    """LayerNorm over channels sharded across ``axis``: ONE psum of the
-    packed (sum, sum-of-squares) pair per call.  Matches nn.core.LayerNorm to
-    f32 reduction-order tolerance (E[x²]−E[x]² vs two-pass)."""
-    s1 = jnp.sum(h, axis=-1)
-    s2 = jnp.sum(jnp.square(h), axis=-1)
-    stats = jax.lax.psum(jnp.stack([s1, s2], axis=-1), axis)   # [N, 2]
-    mu = stats[..., 0:1] / c_full
-    var = jnp.maximum(stats[..., 1:2] / c_full - jnp.square(mu), 0.0)
-    return (h - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+from .tensor import _tp_layernorm  # shared with the DeeperGCN TP twin
 
 
 class TPRevGCN:

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from deep_gcns_torch_tpu.graph import build_graph
 from deep_gcns_torch_tpu.models import DeeperGCN, DeeperGCNConfig
@@ -18,13 +19,13 @@ from deep_gcns_torch_tpu.parallel import (SpatialTPDeeperGCN, make_mesh,
 GP, TP = 2, 2
 
 
-def setup(rng, n=1000, e=6000, c_hidden=32):
+def setup(rng, n=1000, e=6000, c_hidden=32, norm="batch"):
     s = rng.integers(0, n, e)
     r = rng.integers(0, n, e)
     x = rng.standard_normal((n, 16)).astype(np.float32)
     cfg = DeeperGCNConfig(
         in_channels=16, hidden_channels=c_hidden, num_tasks=8, num_layers=3,
-        block="res+", aggr="softmax", t=0.5, norm="batch", mlp_layers=1,
+        block="res+", aggr="softmax", t=0.5, norm=norm, mlp_layers=1,
         dropout=0.0)
     return s, r, x, cfg
 
@@ -44,9 +45,12 @@ def _shard_all(params, state, s, r, x, n, cfg):
             jax.tree_util.tree_map(jnp.asarray, s_tp), shards, xs)
 
 
-def test_spatial_tp_forward_matches_single_chip(rng_np):
+@pytest.mark.parametrize("norm", ["batch", "layer"])
+def test_spatial_tp_forward_matches_single_chip(rng_np, norm):
+    # norm="layer" (round 5): per-node cross-channel stats via one tp psum —
+    # no gp reduction needed, so it composes with the spatial axis for free
     n = 1000
-    s, r, x, cfg = setup(rng_np, n=n)
+    s, r, x, cfg = setup(rng_np, n=n, norm=norm)
     single = DeeperGCN(cfg)
     params, state = jax.jit(single.init)(jax.random.PRNGKey(0))
     g = build_graph(x, s, r, num_nodes=n)

@@ -20,21 +20,23 @@ from deep_gcns_torch_tpu.parallel import (TPDeeperGCN, make_mesh,
 N_DEV = 4
 
 
-def setup(rng, n=512, e=3000, c_hidden=32, aggr="softmax"):
+def setup(rng, n=512, e=3000, c_hidden=32, aggr="softmax", norm="batch"):
     s = rng.integers(0, n, e)
     r = rng.integers(0, n, e)
     x = rng.standard_normal((n, 16)).astype(np.float32)
     g = build_graph(x, s, r, num_nodes=n)
     cfg = DeeperGCNConfig(
         in_channels=16, hidden_channels=c_hidden, num_tasks=8, num_layers=3,
-        block="res+", aggr=aggr, t=0.5, norm="batch", mlp_layers=1,
+        block="res+", aggr=aggr, t=0.5, norm=norm, mlp_layers=1,
         dropout=0.0)
     return g, cfg
 
 
-@pytest.mark.parametrize("aggr", ["softmax", "mean"])
-def test_tp_forward_matches_single_chip(rng_np, aggr):
-    g, cfg = setup(rng_np, aggr=aggr)
+@pytest.mark.parametrize("aggr,norm", [("softmax", "batch"),
+                                       ("mean", "batch"),
+                                       ("softmax", "layer")])
+def test_tp_forward_matches_single_chip(rng_np, aggr, norm):
+    g, cfg = setup(rng_np, aggr=aggr, norm=norm)
     single = DeeperGCN(cfg)
     params, state = jax.jit(single.init)(jax.random.PRNGKey(0))
     want, _ = single.apply(params, state, g.x, g, train=False)
@@ -51,8 +53,11 @@ def test_tp_forward_matches_single_chip(rng_np, aggr):
                                atol=2e-5)
 
 
-def test_tp_train_step_matches_single_chip(rng_np):
-    g, cfg = setup(rng_np)
+@pytest.mark.parametrize("norm", ["batch", "layer"])
+def test_tp_train_step_matches_single_chip(rng_np, norm):
+    # norm="layer": the proteins 112-layer flagship norm — cross-channel
+    # stats via ONE packed (sum, sq) tp psum (round 5; r4 gated it off)
+    g, cfg = setup(rng_np, norm=norm)
     n_pad = g.num_nodes_padded
     labels = jnp.asarray(rng_np.integers(0, 8, n_pad))
     single = DeeperGCN(cfg)
@@ -121,19 +126,20 @@ def test_tp_rejects_unsupported_configs(rng_np):
     with pytest.raises(AssertionError):
         TPDeeperGCN(dataclasses.replace(cfg, mlp_layers=3))
     with pytest.raises(AssertionError):
-        # mlp_layers=2 with LayerNorm inside the MLP needs cross-channel stats
-        TPDeeperGCN(dataclasses.replace(cfg, mlp_layers=2, norm="layer"))
+        TPDeeperGCN(dataclasses.replace(cfg, norm="instance"))
     with pytest.raises(AssertionError):
         TPDeeperGCN(dataclasses.replace(cfg, block="res"))
     with pytest.raises(AssertionError):
         TPDeeperGCN(dataclasses.replace(cfg, msg_norm=True))
 
 
-def test_tp_mlp2_forward_and_step_match(rng_np):
+@pytest.mark.parametrize("norm", ["batch", "layer"])
+def test_tp_mlp2_forward_and_step_match(rng_np, norm):
     """mlp_layers=2 (the ogbg config shape): the Megatron-style two-matmul
-    MLP with its inter-layer BatchNorm on the channel shard — forward and one
-    SGD step match the single chip, running BN stats included."""
-    g, cfg = setup(rng_np)
+    MLP with its inter-layer norm on the channel shard — forward and one
+    SGD step match the single chip (BatchNorm: running stats included;
+    LayerNorm: cross-channel stats via the packed tp psum, round 5)."""
+    g, cfg = setup(rng_np, norm=norm)
     cfg = dataclasses.replace(cfg, mlp_layers=2)
     single = DeeperGCN(cfg)
     params, state = jax.jit(single.init)(jax.random.PRNGKey(0))
